@@ -1,0 +1,83 @@
+"""Experiment driver: train / dev / test modes.
+
+Equivalent of the reference's main.py:12-72 — `train` runs the full loop
+then automatically evaluates the best checkpoint on the test split; `dev` /
+`test` score an existing checkpoint. The `synthetic` dataset generates
+itself on first use, so the whole stack runs hermetically.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Optional
+
+from digat_tpu.config import Config
+from digat_tpu.data import corpus as corpus_lib
+from digat_tpu.data import synthetic
+from digat_tpu.eval.scorer import compute_scores
+from digat_tpu.models.model import Model
+from digat_tpu.train import checkpoint as ckpt_lib
+from digat_tpu.train.trainer import Trainer
+
+
+def prepare(cfg: Config, glove_path: Optional[str] = None) -> corpus_lib.Corpus:
+    root = os.path.join(cfg.data_root, cfg.dataset)
+    if cfg.dataset == "synthetic" and not os.path.exists(
+        os.path.join(root, "train", "behaviors.tsv")
+    ):
+        print(f"[prepare] generating synthetic dataset under {root}")
+        synthetic.generate(root)
+    corpus_lib.preprocess(cfg, glove_path=glove_path, verbose=True)
+    return corpus_lib.Corpus(cfg)
+
+
+def run_train(cfg: Config) -> None:
+    corpus = prepare(cfg)
+    model = Model(cfg)
+    trainer = Trainer(model, cfg, corpus)
+    params, _ = trainer.train()
+    # auto-test on the best checkpoint (main.py:59-62)
+    best = os.path.join(trainer.run_dir, "best.ckpt")
+    if os.path.exists(best):
+        raw_params, _, epoch = ckpt_lib.load(best, model.param_template(), None)
+        t0 = time.time()
+        auc, mrr, ndcg5, ndcg10 = compute_scores(
+            model, raw_params, corpus, "test",
+            result_file=os.path.join(trainer.run_dir, "test-prediction.txt"),
+        )
+        print(f"[test] epoch {epoch}: AUC={auc:.4f} MRR={mrr:.4f} "
+              f"nDCG@5={ndcg5:.4f} nDCG@10={ndcg10:.4f} "
+              f"({time.time() - t0:.1f}s)")
+        res = os.path.join(trainer.results_dir, f"#{trainer.run_index}-test")
+        with open(res, "w") as f:
+            f.write(f"#{trainer.run_index}\t{auc}\t{mrr}\t{ndcg5}\t{ndcg10}\n")
+
+
+def run_eval(cfg: Config, mode: str) -> None:
+    path = cfg.dev_model_path if mode == "dev" else cfg.test_model_path
+    assert path, f"--{mode}_model_path required"
+    corpus = prepare(cfg)
+    model = Model(cfg)
+    params, _, epoch = ckpt_lib.load(path, model.param_template(), None)
+    t0 = time.time()
+    out = cfg.test_output_file or None
+    auc, mrr, ndcg5, ndcg10 = compute_scores(
+        model, params, corpus, mode, result_file=out
+    )
+    print(f"[{mode}] epoch {epoch}: AUC={auc:.4f} MRR={mrr:.4f} "
+          f"nDCG@5={ndcg5:.4f} nDCG@10={ndcg10:.4f} "
+          f"({time.time() - t0:.1f}s)")
+
+
+def main(argv=None) -> None:
+    cfg = Config.from_args(argv)
+    if cfg.mode == "train":
+        run_train(cfg)
+    else:
+        run_eval(cfg, cfg.mode)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

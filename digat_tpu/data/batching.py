@@ -1,0 +1,130 @@
+"""Host-side batch iterators with device prefetch.
+
+Replaces the reference's multiprocess DataLoader (trainer.py:75-80): since
+batches are index-only (a few KB), a single background thread assembling
+numpy index blocks and double-buffering them onto the device keeps the TPU
+fed with no worker processes, no pinned-memory pools.
+
+Training order shuffles per epoch with a seeded generator; under data
+parallelism every host computes the same permutation (same seed) and takes
+its own strided slice — the DistributedSampler equivalent
+(trainer.py:78-80) without inter-host communication.
+
+Tail batches are padded to the static batch size with weight-0 rows so every
+step has identical shapes (one XLA program)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from digat_tpu.models.model import EvalBatch, TrainBatch
+
+
+def train_batches(
+    history_idx: np.ndarray,  # [rows, H] per behavior row
+    cat_idx: np.ndarray,  # [rows, H]
+    behavior_row: np.ndarray,  # [num_samples] -> row
+    pos: np.ndarray,  # [num_samples]
+    negatives: np.ndarray,  # [num_samples, K] (this epoch's draw)
+    batch_size: int,
+    *,
+    epoch_seed: int,
+    shard_index: int = 0,
+    shard_count: int = 1,
+    drop_remainder: bool = False,
+) -> Iterator[TrainBatch]:
+    num = len(pos)
+    order = np.random.default_rng(epoch_seed).permutation(num)
+    order = order[shard_index::shard_count]
+    n = len(order)
+    if drop_remainder:
+        n = (n // batch_size) * batch_size
+        order = order[:n]
+    for s in range(0, len(order), batch_size):
+        sel = order[s : s + batch_size]
+        b = len(sel)
+        samples = np.concatenate([pos[sel, None], negatives[sel]], axis=1)
+        weight = np.ones(batch_size, np.float32)
+        if b < batch_size:
+            pad = batch_size - b
+            sel = np.concatenate([sel, np.zeros(pad, np.int64)])
+            samples = np.concatenate(
+                [samples, np.zeros((pad, samples.shape[1]), samples.dtype)]
+            )
+            weight[b:] = 0.0
+        rows = behavior_row[sel]
+        yield TrainBatch(
+            history_idx=history_idx[rows],
+            cat_idx=cat_idx[rows].astype(np.int32),
+            sample_idx=samples.astype(np.int32),
+            weight=weight,
+        )
+
+
+def eval_batches(
+    history_idx: np.ndarray,
+    cat_idx: np.ndarray,
+    imp_index: np.ndarray,  # [items] -> behavior row
+    cand: np.ndarray,  # [items]
+    batch_size: int,
+    *,
+    shard_index: int = 0,
+    shard_count: int = 1,
+) -> Iterator[tuple]:
+    """Yields (EvalBatch, valid_count). Items keep file order; sharding is
+    strided so hosts can score disjoint slices and allgather."""
+    items = np.arange(len(cand))[shard_index::shard_count]
+    for s in range(0, len(items), batch_size):
+        sel = items[s : s + batch_size]
+        b = len(sel)
+        if b < batch_size:
+            sel = np.concatenate([sel, np.zeros(batch_size - b, np.int64)])
+        rows = imp_index[sel]
+        yield (
+            EvalBatch(
+                history_idx=history_idx[rows],
+                cat_idx=cat_idx[rows].astype(np.int32),
+                cand_idx=cand[sel].astype(np.int32),
+            ),
+            b,
+        )
+
+
+class Prefetcher:
+    """Runs an iterator in a background thread, keeping `depth` batches
+    ready; optionally maps each element (e.g. jax.device_put) in the
+    consumer thread to overlap host assembly with device compute."""
+
+    _DONE = object()
+
+    def __init__(self, it: Iterator, depth: int = 2, transform=None):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._transform = transform
+        self._err: Optional[BaseException] = None
+
+        def run():
+            try:
+                for item in it:
+                    self._q.put(item)
+            except BaseException as e:  # surfaced on next()
+                self._err = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return self._transform(item) if self._transform else item

@@ -1,0 +1,312 @@
+"""MIND corpus preprocessing and runtime store.
+
+Offline stage (`preprocess`) turns raw MIND TSVs into versioned npz/json
+artifacts; the runtime `Corpus` mmap-loads them and exposes device tables.
+Mirrors the reference's artifacts (MIND_corpus.py:23-186) with two
+deliberate redesigns for TPU/multi-host scale:
+
+  * behaviors are stored as *index* arrays (history ids + per-slot category
+    ids); the [rows, Gu, Gu] user-graph adjacency is never materialized —
+    it is reconstructed on device (data/user_graph.py);
+  * train negatives are stored as a ragged (flat, offsets) pair consumed by
+    the vectorized per-epoch sampler (data/sampling.py).
+
+Artifact cache keys include every config knob that shapes them, so sweeps
+over SAG geometry reuse what they can, like the reference's file-name
+keying (MIND_corpus.py:25-32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from digat_tpu.config import Config
+from digat_tpu.data import sag as sag_mod
+from digat_tpu.data import tokenize as tok
+
+SPLITS = ("train", "dev", "test")
+
+
+def _paths(cfg: Config) -> Dict[str, str]:
+    cache = os.path.join(cfg.data_root, f"{cfg.dataset}-cache")
+    key_vocab = f"{cfg.word_threshold}-{cfg.max_title_length}"
+    key_emb = f"{cfg.word_threshold}-{cfg.word_embedding_dim}-{cfg.max_title_length}"
+    key_graph = f"{cfg.SAG_hops}-{cfg.SAG_neighbors}"
+    return {
+        "cache": cache,
+        "dicts": os.path.join(cache, "dicts.json"),
+        "vocab": os.path.join(cache, f"vocabulary-{key_vocab}.json"),
+        "embedding": os.path.join(cache, f"word_embedding-{key_emb}.npy"),
+        "news": os.path.join(cache, f"news-{key_vocab}.npz"),
+        "graph": os.path.join(cache, f"news_graph-{key_graph}.npz"),
+        "behaviors": os.path.join(cache, f"behaviors-{cfg.max_history_num}.npz"),
+    }
+
+
+def _read_news_tsv(path: str):
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            parts = line.split("\t")
+            news_id, category, sub_category, title, abstract = parts[:5]
+            yield news_id, category, sub_category, title, abstract
+
+
+def _read_behaviors_tsv(path: str):
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            imp_id, user_id, time, history, impressions = line.split("\t")
+            yield imp_id, user_id, history.strip(), impressions.strip()
+
+
+def preprocess(cfg: Config, glove_path: Optional[str] = None, verbose: bool = False):
+    """Build every cached artifact that is missing. Idempotent and
+    resumable: each artifact is existence-checked independently, like the
+    reference's crashed-preprocess resume story."""
+    p = _paths(cfg)
+    os.makedirs(p["cache"], exist_ok=True)
+    roots = {s: os.path.join(cfg.data_root, cfg.dataset, s) for s in SPLITS}
+
+    # ---- 1. dictionaries (user/news/category/subCategory) ----
+    if not os.path.exists(p["dicts"]):
+        user_dict: Dict[str, int] = {"<UNK>": 0}
+        news_dict: Dict[str, int] = {"<PAD>": 0}
+        cat_dict: Dict[str, int] = {}
+        subcat_dict: Dict[str, int] = {}
+        for _, user_id, _, _ in _read_behaviors_tsv(
+            os.path.join(roots["train"], "behaviors.tsv")
+        ):
+            if user_id not in user_dict:
+                user_dict[user_id] = len(user_dict)
+        for split in SPLITS:
+            for news_id, cat, subcat, _, _ in _read_news_tsv(
+                os.path.join(roots[split], "news.tsv")
+            ):
+                if news_id not in news_dict:
+                    news_dict[news_id] = len(news_dict)
+                    if cat not in cat_dict:
+                        cat_dict[cat] = len(cat_dict)
+                    if subcat not in subcat_dict:
+                        subcat_dict[subcat] = len(subcat_dict)
+        with open(p["dicts"], "w", encoding="utf-8") as f:
+            json.dump(
+                {"user": user_dict, "news": news_dict, "category": cat_dict,
+                 "subCategory": subcat_dict}, f,
+            )
+    with open(p["dicts"], "r", encoding="utf-8") as f:
+        dicts = json.load(f)
+    news_dict, cat_dict = dicts["news"], dicts["category"]
+
+    # ---- 2. vocabulary ----
+    if not os.path.exists(p["vocab"]):
+        def streams():
+            seen = set()
+            for i, split in enumerate(SPLITS):
+                titles = []
+                for news_id, _, _, title, _ in _read_news_tsv(
+                    os.path.join(roots[split], "news.tsv")
+                ):
+                    if news_id not in seen:
+                        seen.add(news_id)
+                        titles.append(title)
+                yield i, titles
+
+        vocab = tok.build_vocabulary(streams(), cfg.word_threshold)
+        with open(p["vocab"], "w", encoding="utf-8") as f:
+            json.dump(vocab, f)
+    with open(p["vocab"], "r", encoding="utf-8") as f:
+        vocab = json.load(f)
+
+    # ---- 3. word embedding ----
+    if not os.path.exists(p["embedding"]):
+        emb = tok.build_word_embedding(
+            vocab, cfg.word_embedding_dim, glove_path, seed=cfg.seed
+        )
+        np.save(p["embedding"], emb)
+
+    # ---- 4. tokenized titles + per-news category ----
+    if not os.path.exists(p["news"]):
+        n = len(news_dict)
+        title_text = np.zeros((n, cfg.max_title_length), np.int32)
+        title_mask = np.zeros((n, cfg.max_title_length), bool)
+        news_category = np.zeros((n,), np.int16)
+        seen = set()
+        for split in SPLITS:
+            for news_id, cat, _, title, _ in _read_news_tsv(
+                os.path.join(roots[split], "news.tsv")
+            ):
+                if news_id in seen:
+                    continue
+                seen.add(news_id)
+                idx = news_dict[news_id]
+                title_text[idx], title_mask[idx] = tok.encode_title(
+                    title, vocab, cfg.max_title_length
+                )
+                news_category[idx] = cat_dict[cat]
+        np.savez_compressed(
+            p["news"], title_text=title_text, title_mask=title_mask,
+            news_category=news_category,
+        )
+
+    # ---- 5. SAG news graph ----
+    if not os.path.exists(p["graph"]):
+        rows_by_cat: Dict[str, List[Tuple[str, str, str, str]]] = {
+            c: [] for c in cat_dict
+        }
+        seen = set()
+        for i, split in enumerate(SPLITS):
+            domain = "train_dev" if i < 2 else "test"
+            for news_id, cat, _, title, abstract in _read_news_tsv(
+                os.path.join(roots[split], "news.tsv")
+            ):
+                if news_id not in seen:
+                    seen.add(news_id)
+                    rows_by_cat[cat].append((domain, news_id, title, abstract))
+        node_id, graph, mask = sag_mod.construct_sag(
+            rows_by_cat, news_dict, cfg.SAG_neighbors, cfg.SAG_hops,
+            cfg.news_graph_size, exclude_test_from_corpus=cfg.dataset != "MIND-large",
+            seed=cfg.seed,
+        )
+        # self-loops added at artifact build (reference adds them at load,
+        # MIND_corpus.py:117-118; same result, done once here)
+        graph |= np.eye(cfg.news_graph_size, dtype=bool)[None]
+        np.savez_compressed(
+            p["graph"], news_node_id=node_id, news_graph=graph,
+            news_graph_mask=mask,
+        )
+
+    # ---- 6. behaviors (compact index encoding) ----
+    if not os.path.exists(p["behaviors"]):
+        news_category = np.load(p["news"])["news_category"]
+        C = len(cat_dict)
+        H = cfg.max_history_num
+        out: Dict[str, np.ndarray] = {}
+        for split in SPLITS:
+            hist_rows, cat_rows = [], []
+            pos, neg_flat, neg_off, beh_row = [], [], [0], []
+            cand, imp_index, labels = [], [], []
+            for row, (_, _, history, impressions) in enumerate(
+                _read_behaviors_tsv(os.path.join(roots[split], "behaviors.tsv"))
+            ):
+                h_idx = np.zeros(H, np.int32)
+                c_idx = np.full(H, C, np.int16)
+                if history:
+                    ids = [news_dict[x] for x in history.split(" ")]
+                    ids = ids[-H:]
+                    h_idx[: len(ids)] = ids
+                    c_idx[: len(ids)] = news_category[ids]
+                hist_rows.append(h_idx)
+                cat_rows.append(c_idx)
+                clicks, nonclicks, labs, cands = [], [], [], []
+                for imp in impressions.split(" "):
+                    if imp.endswith("-1"):
+                        clicks.append(news_dict[imp[:-2]])
+                        labs.append(1)
+                        cands.append(news_dict[imp[:-2]])
+                    elif imp.endswith("-0"):
+                        nonclicks.append(news_dict[imp[:-2]])
+                        labs.append(0)
+                        cands.append(news_dict[imp[:-2]])
+                    else:  # unlabeled (MIND-large test)
+                        labs.append(0)
+                        cands.append(news_dict[imp])
+                if split == "train":
+                    for c in clicks:
+                        pos.append(c)
+                        neg_flat.extend(nonclicks)
+                        neg_off.append(len(neg_flat))
+                        beh_row.append(row)
+                else:
+                    for c, l in zip(cands, labs):
+                        cand.append(c)
+                        imp_index.append(row)
+                        labels.append(l)
+            out[f"{split}_history_idx"] = np.asarray(hist_rows, np.int32)
+            out[f"{split}_cat_idx"] = np.asarray(cat_rows, np.int16)
+            if split == "train":
+                out["train_pos"] = np.asarray(pos, np.int32)
+                out["train_neg_flat"] = np.asarray(neg_flat, np.int32)
+                out["train_neg_offsets"] = np.asarray(neg_off, np.int64)
+                out["train_behavior_row"] = np.asarray(beh_row, np.int32)
+            else:
+                out[f"{split}_cand"] = np.asarray(cand, np.int32)
+                out[f"{split}_imp_index"] = np.asarray(imp_index, np.int32)
+                out[f"{split}_labels"] = np.asarray(labels, np.int8)
+        np.savez_compressed(p["behaviors"], **out)
+    if verbose:
+        print(f"[corpus] artifacts ready under {p['cache']}")
+
+
+@dataclass
+class Split:
+    history_idx: np.ndarray  # [rows, H]
+    cat_idx: np.ndarray  # [rows, H]
+
+
+class Corpus:
+    """Runtime store: loads cached artifacts, exposes device tables."""
+
+    def __init__(self, cfg: Config):
+        p = _paths(cfg)
+        with open(p["dicts"], "r", encoding="utf-8") as f:
+            dicts = json.load(f)
+        with open(p["vocab"], "r", encoding="utf-8") as f:
+            self.vocab = json.load(f)
+        cfg.vocabulary_size = len(self.vocab)
+        cfg.category_num = len(dicts["category"])
+        cfg.user_num = len(dicts["user"])
+        self.news_dict = dicts["news"]
+        self.news_num = len(self.news_dict)
+
+        news = np.load(p["news"])
+        self.news_title_text = news["title_text"]
+        self.news_title_mask = news["title_mask"]
+        self.news_category = news["news_category"]
+        self.word_embedding = np.load(p["embedding"])
+
+        graph = np.load(p["graph"])
+        self.news_node_id = graph["news_node_id"]
+        self.news_graph = graph["news_graph"]
+        self.news_graph_mask = graph["news_graph_mask"].copy()
+        # the candidate's own slot never joins the global attention
+        # (reference mutates this at load: MIND_corpus.py:210)
+        self.news_graph_mask[:, 0] = 0
+
+        b = np.load(p["behaviors"])
+        self.splits = {
+            s: Split(b[f"{s}_history_idx"], b[f"{s}_cat_idx"]) for s in SPLITS
+        }
+        self.train_pos = b["train_pos"]
+        self.train_neg_flat = b["train_neg_flat"]
+        self.train_neg_offsets = b["train_neg_offsets"]
+        self.train_behavior_row = b["train_behavior_row"]
+        for s in ("dev", "test"):
+            setattr(self, f"{s}_cand", b[f"{s}_cand"])
+            setattr(self, f"{s}_imp_index", b[f"{s}_imp_index"])
+            setattr(self, f"{s}_labels", b[f"{s}_labels"])
+        self.cfg = cfg
+
+    # -- device tables -----------------------------------------------------
+    def tables(self):
+        import jax.numpy as jnp
+
+        from digat_tpu.models.model import CorpusTables
+
+        return CorpusTables(
+            news_title_text=jnp.asarray(self.news_title_text),
+            news_title_mask=jnp.asarray(self.news_title_mask),
+            news_node_id=jnp.asarray(self.news_node_id),
+            news_graph=jnp.asarray(self.news_graph),
+            news_graph_mask=jnp.asarray(self.news_graph_mask),
+        )
+
+    def num_train_samples(self) -> int:
+        return len(self.train_pos)

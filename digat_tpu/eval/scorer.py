@@ -1,0 +1,150 @@
+"""Two-stage cached evaluation.
+
+Mirrors the reference's compute_scores (util.py:10-85) — the capability that
+makes full-corpus evaluation O(unique news), not O(impressions x graph):
+
+  stage 1: encode every unique news once -> news_reps [news_num, D]; then
+           the initial news-graph context c_n0 [news_num, D] in chunks;
+  stage 2: per impression item, gather cached reps + run the graph encoder
+           inference path; dot-product score.
+
+TPU redesign: the reference materializes the gathered SAG representations
+[news_num, Gn, D] on device (2.7 GB fp32 on MIND-small; util.py:36). Here
+only the [news_num, D] tables stay resident and SAG node reps are gathered
+per chunk/batch inside jit — same math, ~26x less HBM."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from digat_tpu.data.batching import Prefetcher, eval_batches
+from digat_tpu.data.user_graph import build_user_graph
+from digat_tpu.eval import metrics as M
+from digat_tpu.models.model import CorpusTables, EvalBatch, Model
+
+
+def _pad_to(x: np.ndarray, n: int):
+    if x.shape[0] == n:
+        return x
+    pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad)
+
+
+class CachedScorer:
+    """Holds the jitted stage functions for one model."""
+
+    def __init__(self, model: Model, batch_size: int = 1024):
+        self.model = model
+        self.batch_size = batch_size
+        cfg = model.config
+
+        def encode_chunk(params, text, mask, start):
+            text = jax.lax.dynamic_slice_in_dim(text, start, batch_size)
+            mask = jax.lax.dynamic_slice_in_dim(mask, start, batch_size)
+            return model.encode_news(params, text, mask)
+
+        def c_n0_chunk(params, node_id, gmask, news_reps, start):
+            node_id = jax.lax.dynamic_slice_in_dim(node_id, start, batch_size)
+            gmask = jax.lax.dynamic_slice_in_dim(gmask, start, batch_size)
+            sag = news_reps[node_id]  # [b, Gn, D]
+            return model.initial_news_context(params, sag, gmask)
+
+        def score_batch(params, tables: CorpusTables, news_reps, c_n0,
+                        batch: EvalBatch):
+            user_reps = news_reps[batch.history_idx]  # [b, H, D]
+            sag = news_reps[tables.news_node_id[batch.cand_idx]]  # [b, Gn, D]
+            graph = tables.news_graph[batch.cand_idx]
+            gmask = tables.news_graph_mask[batch.cand_idx]
+            user_graph, cat_mask = build_user_graph(
+                batch.cat_idx, cfg.max_history_num, cfg.category_num
+            )
+            return model.inference(
+                params, user_reps, user_graph, cat_mask, batch.cat_idx,
+                sag, graph, gmask, c_n0[batch.cand_idx],
+            )
+
+        self._encode_chunk = jax.jit(encode_chunk)
+        self._c_n0_chunk = jax.jit(c_n0_chunk)
+        self._score_batch = jax.jit(score_batch)
+
+    # ------------------------------------------------------------------
+    def cache_news(self, params, tables: CorpusTables):
+        """Stage 1: (news_reps [N, D], c_n0 [N, D]) device arrays. Tables
+        are zero-padded to a chunk multiple so every chunk shares one
+        compiled program."""
+        n = tables.news_title_text.shape[0]
+        bs = self.batch_size
+        pad = (-n) % bs
+        padded = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        text, mask = padded(tables.news_title_text), padded(tables.news_title_mask)
+        reps = [
+            self._encode_chunk(params, text, mask, s) for s in range(0, n + pad, bs)
+        ]
+        news_reps = jnp.concatenate(reps)[:n]
+        node_id = padded(tables.news_node_id)
+        gmask = padded(tables.news_graph_mask)
+        c0 = [
+            self._c_n0_chunk(params, node_id, gmask, news_reps, s)
+            for s in range(0, n + pad, bs)
+        ]
+        c_n0 = jnp.concatenate(c0)[:n]
+        return news_reps, c_n0
+
+    # ------------------------------------------------------------------
+    def score_items(
+        self,
+        params,
+        tables: CorpusTables,
+        history_idx: np.ndarray,
+        cat_idx: np.ndarray,
+        imp_index: np.ndarray,
+        cand: np.ndarray,
+        *,
+        shard_index: int = 0,
+        shard_count: int = 1,
+    ) -> np.ndarray:
+        """Stage 2: scores for every impression item (this shard's slice
+        filled; other positions zero)."""
+        news_reps, c_n0 = self.cache_news(params, tables)
+        scores = np.zeros(len(cand), np.float32)
+        item_ids = np.arange(len(cand))[shard_index::shard_count]
+        it = eval_batches(
+            history_idx, cat_idx, imp_index, cand, self.batch_size,
+            shard_index=shard_index, shard_count=shard_count,
+        )
+        pos = 0
+        for batch, valid in Prefetcher(it, depth=2):
+            s = self._score_batch(params, tables, news_reps, c_n0, batch)
+            scores[item_ids[pos : pos + valid]] = np.asarray(s[:valid])
+            pos += valid
+        return scores
+
+
+def compute_scores(
+    model: Model,
+    params,
+    corpus,
+    mode: str,
+    batch_size: Optional[int] = None,
+    result_file: Optional[str] = None,
+) -> Tuple[float, float, float, float]:
+    """End-to-end dev/test scoring -> (auc, mrr, ndcg5, ndcg10)."""
+    assert mode in ("dev", "test")
+    scorer = CachedScorer(model, batch_size or model.config.effective_eval_batch_size())
+    tables = corpus.tables()
+    split = corpus.splits[mode]
+    imp_index = getattr(corpus, f"{mode}_imp_index")
+    cand = getattr(corpus, f"{mode}_cand")
+    labels = getattr(corpus, f"{mode}_labels")
+    scores = scorer.score_items(
+        params, tables, split.history_idx, split.cat_idx, imp_index, cand
+    )
+    by_imp_scores = M.group_by_impression(imp_index, scores)
+    by_imp_labels = M.group_by_impression(imp_index, labels)
+    if result_file:
+        M.write_rank_file(result_file, by_imp_scores)
+    return M.score_impressions(by_imp_labels, by_imp_scores)

@@ -1,0 +1,247 @@
+"""Core NN primitives as pure init/apply functions over pytree params.
+
+Replicates the initializer semantics the reference relies on (torch-default
+kaiming-uniform Linears where `.initialize()` is a no-op, xavier-uniform with
+activation gains elsewhere; reference: layers.py:65-67,97-100,188-191) so a
+freshly initialized model is drawn from the same distribution, while the
+apply functions are plain jax.numpy suitable for jit/pjit.
+
+Masked softmax uses the same -1e9 fill as the reference (layers.py:111,202)
+rather than -inf, so fully-masked rows degrade to a uniform distribution in
+the identical way.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+MASK_FILL = -1e9
+
+# Activation gains (values of torch.nn.init.calculate_gain).
+GAIN_LINEAR = 1.0
+GAIN_RELU = math.sqrt(2.0)
+GAIN_TANH = 5.0 / 3.0
+
+
+def gain_leaky_relu(negative_slope: float = 0.2) -> float:
+    return math.sqrt(2.0 / (1.0 + negative_slope**2))
+
+
+# ---------------------------------------------------------------------------
+# Initializers. Weights are stored [d_in, d_out] (apply is x @ W + b).
+# ---------------------------------------------------------------------------
+
+
+def uniform_fan_in(key, d_in: int, d_out: int, dtype=jnp.float32):
+    """torch.nn.Linear default weight init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(d_in)
+    return jax.random.uniform(key, (d_in, d_out), dtype, -bound, bound)
+
+
+def xavier_uniform(key, d_in: int, d_out: int, gain: float = 1.0, dtype=jnp.float32):
+    bound = gain * math.sqrt(6.0 / (d_in + d_out))
+    return jax.random.uniform(key, (d_in, d_out), dtype, -bound, bound)
+
+
+def linear_init(
+    key,
+    d_in: int,
+    d_out: int,
+    *,
+    bias: bool = True,
+    init: str = "torch",  # torch | xavier
+    gain: float = 1.0,
+    bias_init: str = "torch",  # torch | zeros
+    dtype=jnp.float32,
+):
+    wkey, bkey = jax.random.split(key)
+    if init == "torch":
+        w = uniform_fan_in(wkey, d_in, d_out, dtype)
+    else:
+        w = xavier_uniform(wkey, d_in, d_out, gain, dtype)
+    params = {"w": w}
+    if bias:
+        if bias_init == "zeros":
+            b = jnp.zeros((d_out,), dtype)
+        else:
+            bound = 1.0 / math.sqrt(d_in)
+            b = jax.random.uniform(bkey, (d_out,), dtype, -bound, bound)
+        params["b"] = b
+    return params
+
+
+def linear(params, x):
+    y = x @ params["w"]
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def stacked_linear_init(key, depth: int, d_in: int, d_out: int, **kw):
+    """`depth` independent linears stacked on a leading axis (per-GAT-layer
+    parameter lists; indexed with a static loop counter)."""
+    keys = jax.random.split(key, depth)
+    leaves = [linear_init(k, d_in, d_out, **kw) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+
+
+def stacked_linear(params, i: int, x):
+    return linear(jax.tree.map(lambda p: p[i], params), x)
+
+
+# ---------------------------------------------------------------------------
+# Dropout / masking helpers
+# ---------------------------------------------------------------------------
+
+
+def dropout(key, x, rate: float, train: bool):
+    """Inverted dropout. No-op when not training or rate == 0."""
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def masked_softmax(scores, mask, axis: int = -1):
+    """softmax(where(mask, scores, -1e9)). `mask` is broadcastable, bool/0-1."""
+    if mask is not None:
+        scores = jnp.where(mask.astype(bool), scores, MASK_FILL)
+    return jax.nn.softmax(scores, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Attention pooling (tanh-MLP; reference layers.py:91-115 "Attention")
+# ---------------------------------------------------------------------------
+
+
+def attn_pool_init(key, feature_dim: int, attention_dim: int):
+    k1, k2 = jax.random.split(key)
+    return {
+        "affine1": linear_init(
+            k1, feature_dim, attention_dim, init="xavier", gain=GAIN_TANH,
+            bias_init="zeros",
+        ),
+        "affine2": linear_init(k2, attention_dim, 1, bias=False, init="xavier"),
+    }
+
+
+def attn_pool(params, feature, mask=None):
+    """feature: [..., L, D], mask: [..., L] -> [..., D]."""
+    a = linear(params["affine2"], jnp.tanh(linear(params["affine1"], feature)))
+    alpha = masked_softmax(a.squeeze(-1), mask, axis=-1)
+    return jnp.einsum("...l,...ld->...d", alpha, feature)
+
+
+# ---------------------------------------------------------------------------
+# Scaled dot-product attention with a single query vector
+# (reference layers.py:181-206 "ScaledDotProductAttention")
+# ---------------------------------------------------------------------------
+
+
+def sdp_attn_init(key, feature_dim: int, query_dim: int, attention_dim: int):
+    k1, k2 = jax.random.split(key)
+    return {
+        "K": linear_init(k1, feature_dim, attention_dim, bias=False, init="xavier"),
+        "Q": linear_init(k2, query_dim, attention_dim, init="xavier", bias_init="zeros"),
+    }
+
+
+def sdp_attn(params, feature, query, mask=None):
+    """feature: [..., L, Df], query: [..., Dq], mask: [..., L] -> [..., Df]."""
+    k = linear(params["K"], feature)
+    q = linear(params["Q"], query)
+    scale = params["K"]["w"].shape[-1]  # attention_dim, static at trace time
+    a = jnp.einsum("...ld,...d->...l", k, q) / math.sqrt(float(scale))
+    alpha = masked_softmax(a, mask, axis=-1)
+    return jnp.einsum("...l,...ld->...d", alpha, feature)
+
+
+# ---------------------------------------------------------------------------
+# Multi-head self-attention (reference layers.py:50-88; NO key mask, matching
+# the main-variant semantics where pads participate in the softmax)
+# ---------------------------------------------------------------------------
+
+
+def mha_init(key, heads: int, d_model: int, d_k: int, d_v: int):
+    kk, kq, kv = jax.random.split(key, 3)
+    return {
+        "W_K": linear_init(kk, d_model, heads * d_k, bias=False),
+        "W_Q": linear_init(kq, d_model, heads * d_k, bias_init="zeros"),
+        "W_V": linear_init(kv, d_model, heads * d_v, bias_init="zeros"),
+    }
+
+
+def mha(params, x, heads: int, compute_dtype=None):
+    """Self-attention. x: [..., L, d_model] -> [..., L, heads*d_v]."""
+    h = heads
+    d_k = params["W_K"]["w"].shape[-1] // h
+    d_v = params["W_V"]["w"].shape[-1] // h
+    q = linear(params["W_Q"], x).reshape(*x.shape[:-1], h, d_k)
+    k = linear(params["W_K"], x).reshape(*x.shape[:-1], h, d_k)
+    v = linear(params["W_V"], x).reshape(*x.shape[:-1], h, d_v)
+    if compute_dtype is not None:
+        q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
+    a = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(float(d_k))
+    alpha = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("...hqk,...khd->...qhd", alpha, v)
+    return out.reshape(*x.shape[:-1], h * d_v).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# 1-D convolution bank (reference layers.py:7-47 "Conv1D")
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(key, in_ch: int, out_ch: int, width: int):
+    """torch.nn.Conv1d default init: U(+-1/sqrt(in_ch*width)). Kernel stored
+    [width, in_ch, out_ch] for lax.conv_general_dilated with ('NWC','WIO','NWC')."""
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_ch * width)
+    w = jax.random.uniform(wkey, (width, in_ch, out_ch), jnp.float32, -bound, bound)
+    b = jax.random.uniform(bkey, (out_ch,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def conv_bank_widths(method: str, window: int):
+    if method == "naive":
+        return (window,)
+    if method == "group3":
+        return (1, 3, 5)
+    return (1, 2, 3, 4, 5)  # group5
+
+
+def conv1d_bank_init(key, method: str, in_ch: int, kernel_num: int, window: int):
+    widths = conv_bank_widths(method, window)
+    per = kernel_num // len(widths)
+    keys = jax.random.split(key, len(widths))
+    return {"convs": [_conv_init(k, in_ch, per, w) for k, w in zip(keys, widths)]}
+
+
+def _conv1d_same(params, x, width: int):
+    """x: [B, L, C_in] -> [B, L, C_out]. Odd widths match torch
+    padding=(width-1)//2 exactly; even widths add one extra zero frame on the
+    right (the intent of the reference's manual length-pad for its even
+    kernels; reference layers.py:22-26,42-47)."""
+    pad = (width - 1) // 2
+    padding = [(pad, pad if width % 2 == 1 else pad + 1)]
+    out = jax.lax.conv_general_dilated(
+        x,
+        params["w"],
+        window_strides=(1,),
+        padding=padding,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out + params["b"]
+
+
+def conv1d_bank(params, x, method: str, window: int):
+    """x: [B, L, C_in] -> relu(concat of convs) [B, L, kernel_num]."""
+    widths = conv_bank_widths(method, window)
+    outs = [_conv1d_same(p, x, w) for p, w in zip(params["convs"], widths)]
+    return jax.nn.relu(jnp.concatenate(outs, axis=-1))

@@ -1,0 +1,208 @@
+"""Model assembly: news encoder ∘ graph encoder ∘ dot-product scorer.
+
+Functional equivalent of the reference's Model (model.py:7-90), with a
+TPU-first data path: the training step takes *index* batches plus
+device-resident corpus tables (tokenized titles, SAG node ids / adjacency)
+and performs every gather on device inside jit — replacing the reference's
+multiprocess DataLoader host gathers. The dense-tensor entry point
+(`forward`) matching the reference signature is kept for oracle tests and
+for callers that already hold gathered tensors.
+
+Two-stage cached inference (`inference`) mirrors model.py:87-90: it consumes
+pre-encoded news representations and a cached initial news context c_n0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from digat_tpu.config import Config
+from digat_tpu.data.user_graph import build_user_graph
+from digat_tpu.models import graph_encoders as G
+from digat_tpu.models import news_encoders as N
+
+
+class CorpusTables(NamedTuple):
+    """Device-resident corpus arrays shared by every step."""
+
+    news_title_text: jnp.ndarray  # [news_num, L] int32
+    news_title_mask: jnp.ndarray  # [news_num, L] bool
+    news_node_id: jnp.ndarray  # [news_num, Gn] int32 (SAG node ids)
+    news_graph: jnp.ndarray  # [news_num, Gn, Gn] bool (self-loops added)
+    news_graph_mask: jnp.ndarray  # [news_num, Gn] bool (slot 0 zeroed)
+
+
+class TrainBatch(NamedTuple):
+    """Index-only training batch (host->device traffic is a few KB/sample)."""
+
+    history_idx: jnp.ndarray  # [B, H] int32 news ids (0 = pad)
+    cat_idx: jnp.ndarray  # [B, H] int32 category per slot (C = pad)
+    sample_idx: jnp.ndarray  # [B, 1+K] int32 candidate news ids (pos first)
+    weight: jnp.ndarray  # [B] float32 (0 for padding rows of last batch)
+
+
+class EvalBatch(NamedTuple):
+    """Stage-2 eval batch: one impression item per row."""
+
+    history_idx: jnp.ndarray  # [B, H] int32
+    cat_idx: jnp.ndarray  # [B, H] int32
+    cand_idx: jnp.ndarray  # [B] int32 candidate news id
+
+
+class Model:
+    """Bundles static configuration; all apply methods are pure functions."""
+
+    def __init__(self, config: Config):
+        config.validate()
+        self.config = config
+        self.news_st = N.NewsStatic(
+            encoder=config.news_encoder,
+            vocab_size=config.vocabulary_size,
+            word_dim=config.word_embedding_dim,
+            dim=config.news_embedding_dim,
+            max_title_length=config.max_title_length,
+            dropout_rate=config.dropout_rate,
+            cnn_method=config.cnn_method,
+            cnn_window_size=config.cnn_window_size,
+            msa_heads=config.MSA_head_num,
+            attention_dim=config.attention_dim,
+            compute_dtype=config.compute_dtype,
+        )
+        self.graph_st = G.GraphStatic(
+            variant=config.graph_encoder,
+            depth=config.graph_depth,
+            max_history_num=config.max_history_num,
+            category_num=config.category_num,
+            dim=config.news_embedding_dim,
+            dropout_rate=config.dropout_rate,
+            use_pallas=config.use_pallas,
+        )
+        self.model_name = config.model_name
+
+    # ------------------------------------------------------------------
+    def init(self, key, word_embedding=None):
+        k_news, k_graph = jax.random.split(key)
+        return {
+            "news_encoder": N.init(k_news, self.news_st, word_embedding),
+            "graph_encoder": G.init(k_graph, self.graph_st),
+        }
+
+    def param_template(self):
+        """Abstract param pytree (structure only) for checkpoint restore."""
+        return jax.eval_shape(lambda k: self.init(k), jax.random.PRNGKey(0))
+
+    # ------------------------------------------------------------------
+    def forward(
+        self,
+        params,
+        rng,
+        train: bool,
+        user_title_text,  # [B, H, L]
+        user_title_mask,  # [B, H, L]
+        user_graph,  # [B, Gu, Gu]
+        user_category_mask,  # [B, C+1]
+        user_category_indices,  # [B, H]
+        news_title_text,  # [B, N, Gn, L]
+        news_title_mask,  # [B, N, Gn, L]
+        news_graph,  # [B, N, Gn, Gn]
+        news_graph_mask,  # [B, N, Gn]
+    ):
+        """Dense-tensor forward -> logits [B, N] (reference model.py:54-77)."""
+        B, Nn, Gn, _ = news_title_text.shape
+        r_news, r_user, r_graph = jax.random.split(rng, 3)
+
+        cand = N.encode(
+            params["news_encoder"], self.news_st, r_news, train,
+            news_title_text, news_title_mask,
+        )  # [B, N, Gn, D]
+        hist = N.encode(
+            params["news_encoder"], self.news_st, r_user, train,
+            user_title_text, user_title_mask,
+        )  # [B, H, D]
+
+        flat = lambda x: x.reshape((B * Nn,) + x.shape[2:])
+        rep = lambda x: jnp.broadcast_to(
+            x[:, None], (B, Nn) + x.shape[1:]
+        ).reshape((B * Nn,) + x.shape[1:])
+
+        news_rep, user_rep = G.forward(
+            params["graph_encoder"], self.graph_st, r_graph, train,
+            flat(cand), flat(news_graph), flat(news_graph_mask),
+            rep(hist), rep(user_graph), rep(user_category_mask),
+            rep(user_category_indices),
+        )
+        logits = jnp.sum(
+            news_rep.reshape(B, Nn, -1) * user_rep.reshape(B, Nn, -1), axis=-1
+        )
+        return logits
+
+    # ------------------------------------------------------------------
+    def forward_indexed(self, params, tables: CorpusTables, batch: TrainBatch,
+                        rng, train: bool):
+        """Index-batch forward: gathers titles/graphs on device, rebuilds the
+        user graph from compact category indices, then runs `forward`."""
+        cfg = self.config
+        node_ids = tables.news_node_id[batch.sample_idx]  # [B, N, Gn]
+        news_title_text = tables.news_title_text[node_ids]  # [B, N, Gn, L]
+        news_title_mask = tables.news_title_mask[node_ids]
+        news_graph = tables.news_graph[batch.sample_idx]  # [B, N, Gn, Gn]
+        news_graph_mask = tables.news_graph_mask[batch.sample_idx]
+        user_title_text = tables.news_title_text[batch.history_idx]  # [B, H, L]
+        user_title_mask = tables.news_title_mask[batch.history_idx]
+        user_graph, user_category_mask = build_user_graph(
+            batch.cat_idx, cfg.max_history_num, cfg.category_num
+        )
+        return self.forward(
+            params, rng, train,
+            user_title_text, user_title_mask, user_graph, user_category_mask,
+            batch.cat_idx, news_title_text, news_title_mask, news_graph,
+            news_graph_mask,
+        )
+
+    # ------------------------------------------------------------------
+    def inference(
+        self,
+        params,
+        user_news_embedding,  # [B, H, D] cached
+        user_graph,  # [B, Gu, Gu]
+        user_category_mask,  # [B, C+1]
+        user_category_indices,  # [B, H]
+        candidate_news_embedding,  # [B, Gn, D] cached SAG node reps
+        news_graph,  # [B, Gn, Gn]
+        news_graph_mask,  # [B, Gn]
+        c_n0,  # [B, D] cached initial news context
+    ):
+        """Two-stage cached scoring -> logits [B] (reference model.py:87-90)."""
+        rng = jax.random.PRNGKey(0)  # eval: dropout disabled
+        news_rep, user_rep = G.forward(
+            params["graph_encoder"], self.graph_st, rng, False,
+            candidate_news_embedding, news_graph, news_graph_mask,
+            user_news_embedding, user_graph, user_category_mask,
+            user_category_indices, c_n0=c_n0,
+        )
+        return jnp.sum(news_rep * user_rep, axis=-1)
+
+    # ------------------------------------------------------------------
+    def encode_news(self, params, title_text, title_mask):
+        """Stage-1 cache: encode unique news titles (eval mode)."""
+        rng = jax.random.PRNGKey(0)
+        return N.encode(
+            params["news_encoder"], self.news_st, rng, False, title_text, title_mask
+        )
+
+    def initial_news_context(self, params, sag_embeddings, news_graph_mask):
+        return G.initial_news_context(
+            params["graph_encoder"], self.graph_st, sag_embeddings, news_graph_mask
+        )
+
+    # ------------------------------------------------------------------
+    def loss(self, params, tables: CorpusTables, batch: TrainBatch, rng):
+        """Listwise sampled-softmax NLL (reference trainer.py:100), with
+        per-row weights so padded tail batches contribute nothing."""
+        logits = self.forward_indexed(params, tables, batch, rng, train=True)
+        nll = -jax.nn.log_softmax(logits, axis=1)[:, 0]
+        w = batch.weight
+        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -1,0 +1,75 @@
+"""News title encoders: CNN and multi-head self-attention (MSA).
+
+Functional equivalents of the reference's newsEncoders.py:29-82. Both embed
+title tokens from a GloVe-initialized table, apply dropout on the word
+embeddings, encode (conv bank + relu or MSA + relu), and aggregate with a
+masked tanh-MLP attention pool. The MSA softmax is *unmasked* (pads attend),
+matching the reference's main-variant MultiHeadAttention (layers.py:75-88);
+only the pooling step masks pads.
+
+The word-embedding table is a single [V, 300] parameter suitable for
+row-sharding across a `model` mesh axis (XLA SPMD inserts the gather
+collectives automatically).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from digat_tpu import layers as L
+
+
+class NewsStatic(NamedTuple):
+    encoder: str  # CNN | MSA
+    vocab_size: int
+    word_dim: int
+    dim: int  # news embedding dim (cnn_kernel_num or heads*head_dim)
+    max_title_length: int
+    dropout_rate: float
+    cnn_method: str = "naive"
+    cnn_window_size: int = 3
+    msa_heads: int = 16
+    attention_dim: int = 256
+    compute_dtype: str = "float32"
+
+
+def init(key, st: NewsStatic, word_embedding=None):
+    """`word_embedding`: optional [V, word_dim] GloVe-initialized matrix."""
+    k_emb, k_enc, k_pool = jax.random.split(key, 3)
+    if word_embedding is None:
+        word_embedding = jax.random.normal(k_emb, (st.vocab_size, st.word_dim))
+    params = {
+        "word_embedding": jnp.asarray(word_embedding, jnp.float32),
+        "pool": L.attn_pool_init(k_pool, st.dim, st.attention_dim),
+    }
+    if st.encoder == "CNN":
+        params["conv"] = L.conv1d_bank_init(
+            k_enc, st.cnn_method, st.word_dim, st.dim, st.cnn_window_size
+        )
+    else:
+        head_dim = st.dim // st.msa_heads
+        params["msa"] = L.mha_init(k_enc, st.msa_heads, st.word_dim, head_dim, head_dim)
+    return params
+
+
+def encode(params, st: NewsStatic, rng, train: bool, title_text, title_mask):
+    """title_text: [..., L] int32, title_mask: [..., L] -> [..., dim].
+
+    Works for any leading batch shape ([B, N, L], [B, N, G, L], ...)."""
+    r_emb, r_enc = jax.random.split(rng)
+    w = params["word_embedding"][title_text]  # [..., L, word_dim]
+    w = L.dropout(r_emb, w, st.dropout_rate, train)
+    lead = w.shape[:-2]
+    w2 = w.reshape((-1, st.max_title_length, st.word_dim))
+    if st.encoder == "CNN":
+        h = L.conv1d_bank(params["conv"], w2, st.cnn_method, st.cnn_window_size)
+        h = L.dropout(r_enc, h, st.dropout_rate, train)
+    else:
+        cd = jnp.bfloat16 if st.compute_dtype == "bfloat16" else None
+        h = jax.nn.relu(L.mha(params["msa"], w2, st.msa_heads, compute_dtype=cd))
+    mask2 = title_mask.reshape((-1, st.max_title_length))
+    pooled = L.attn_pool(params["pool"], h, mask=mask2)
+    return pooled.reshape(*lead, st.dim)

@@ -1,0 +1,73 @@
+"""Device mesh construction and sharding layouts.
+
+The reference's parallelism is DDP over NCCL (config.py:89, trainer.py:19).
+Here the entire story is one `jax.sharding.Mesh` with axes:
+
+  * `data`  — batch dimension; gradients all-reduce over ICI/DCN because
+    the jitted loss contracts a data-sharded batch against replicated
+    params (XLA inserts the psum — no user-level collective code);
+  * `model` — optional row-sharding of the word-embedding table (and any
+    future large table); lookups become sharded gathers for which SPMD
+    emits the all-to-all/all-gather exchange.
+
+Multi-host: call `jax.distributed.initialize()` per process before building
+the mesh; every host runs the same program and feeds its own strided data
+shard (data/batching.py)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: int = 0, model: int = 1, devices=None) -> Mesh:
+    """`data=0` means: use all devices not consumed by `model`."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model <= 0:
+        model = 1
+    if data <= 0:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis of every batch array is split along `data`."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_shardings(mesh: Mesh, params, shard_embedding: bool = True):
+    """Params replicated, except the word-embedding table which row-shards
+    along `model` when that axis is real."""
+    repl = replicated(mesh)
+    if mesh.shape[MODEL_AXIS] == 1 or not shard_embedding:
+        return jax.tree.map(lambda _: repl, params)
+    emb = NamedSharding(mesh, P(MODEL_AXIS, None))
+
+    def assign(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if "word_embedding" in keys:
+            return emb
+        return repl
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_batch_arrays(mesh: Optional[Mesh], batch):
+    """device_put a batch pytree with data-axis sharding (or default
+    placement when no mesh)."""
+    if mesh is None:
+        return jax.device_put(batch)
+    return jax.device_put(batch, batch_sharding(mesh))

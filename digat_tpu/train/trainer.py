@@ -1,0 +1,228 @@
+"""Training orchestration.
+
+Epoch loop with the reference's training protocol (trainer.py:71-188):
+per-epoch negative re-sampling, shuffled batches, late lr/10 decay,
+listwise loss, per-epoch dev scoring, best-checkpoint selection by the
+configured criterion with early stopping after `early_stopping_epoch` stale
+epochs — plus the fixes the TPU/multi-host world demands:
+
+  * the early-stop decision is computed from metrics on process 0 and
+    broadcast, never a main-rank-only `break` (the reference's DDP deadlock
+    hazard, trainer.py:171-172);
+  * checkpoints carry params AND optimizer state + epoch, so runs resume
+    (the reference saves model weights only, trainer.py:170);
+  * batches prefetch on a host thread straight into sharded device memory.
+
+Run layout: <run_root>/<dataset>/<model_name>/#<run>/ holding config.json,
+checkpoints, per-epoch rank files and a dev log; plus the flat
+results/<dataset>/<model>/#N-dev files the aggregation tooling consumes."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from digat_tpu.config import Config
+from digat_tpu.data import batching, sampling
+from digat_tpu.data.corpus import Corpus
+from digat_tpu.eval import metrics as M
+from digat_tpu.eval.scorer import compute_scores
+from digat_tpu.models.model import Model
+from digat_tpu.parallel import mesh as mesh_lib
+from digat_tpu.train import checkpoint as ckpt_lib
+from digat_tpu.train.optimizer import lr_at_epoch, make_optimizer
+from digat_tpu.train.train_step import make_train_step
+
+
+def get_run_index(results_dir: str) -> int:
+    """Monotonic #N allocation by scanning existing result files
+    (util.py:88-97)."""
+    os.makedirs(results_dir, exist_ok=True)
+    max_index = 0
+    for name in os.listdir(results_dir):
+        name = name.strip()
+        if name.startswith("#") and name.endswith("-dev"):
+            try:
+                max_index = max(max_index, int(name[1:-4]))
+            except ValueError:
+                pass
+    open(os.path.join(results_dir, f"#{max_index + 1}-dev"), "w").close()
+    return max_index + 1
+
+
+class Trainer:
+    def __init__(self, model: Model, config: Config, corpus: Corpus,
+                 mesh=None, verbose: bool = True):
+        self.model = model
+        self.config = config
+        self.corpus = corpus
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            config.mesh_data, config.mesh_model
+        )
+        self.verbose = verbose
+        self.process_index = jax.process_index()
+        self.is_main = self.process_index == 0
+
+        self.results_dir = os.path.join(
+            config.run_root, "results", config.dataset, model.model_name
+        )
+        if self.is_main:
+            self.run_index = get_run_index(self.results_dir)
+            config.run_index = self.run_index
+            self.run_dir = os.path.join(
+                config.run_root, config.dataset, model.model_name,
+                f"#{self.run_index}",
+            )
+            os.makedirs(self.run_dir, exist_ok=True)
+            with open(os.path.join(self.run_dir, "config.json"), "w") as f:
+                f.write(config.to_json())
+        else:
+            self.run_index = 0
+            self.run_dir = ""
+
+        self.tx = None
+        self.history = []
+
+    # ------------------------------------------------------------------
+    def _log(self, *args):
+        if self.verbose and self.is_main:
+            print(*args, flush=True)
+
+    def _criterion_value(self, auc, mrr, ndcg5, ndcg10) -> float:
+        c = self.config.dev_criterion
+        return {
+            "auc": auc, "mrr": mrr, "ndcg5": ndcg5, "ndcg10": ndcg10,
+            "avg": M.avg_metric(auc, mrr, ndcg5, ndcg10),
+        }[c]
+
+    # ------------------------------------------------------------------
+    def train(self, init_params=None):
+        cfg = self.config
+        corpus = self.corpus
+        model = self.model
+        mesh = self.mesh
+
+        params = init_params
+        if params is None:
+            params = model.init(
+                jax.random.PRNGKey(cfg.seed), word_embedding=corpus.word_embedding
+            )
+        self.tx = make_optimizer(cfg.weight_decay, cfg.gradient_clip_norm, params)
+        opt_state = self.tx.init(params)
+
+        # place state on the mesh (replicated / embedding-row-sharded)
+        p_sh = mesh_lib.param_shardings(mesh, params, cfg.mesh_model > 1)
+        params = jax.device_put(params, p_sh)
+        opt_state = jax.device_put(opt_state, mesh_lib.replicated(mesh))
+        tables = jax.device_put(corpus.tables(), mesh_lib.replicated(mesh))
+        step_fn = make_train_step(model, self.tx)
+
+        rng = np.random.default_rng(cfg.seed)
+        best = -1.0
+        best_epoch = 0
+        stale = 0
+        shard_count = jax.process_count()
+        shard_index = self.process_index
+        split = corpus.splits["train"]
+
+        for epoch in range(1, cfg.epoch + 1):
+            t0 = time.time()
+            negatives = sampling.sample_negatives(
+                corpus.train_neg_flat, corpus.train_neg_offsets,
+                cfg.negative_sample_num,
+                np.random.default_rng(cfg.seed * 1_000_003 + epoch),
+            )
+            lr = lr_at_epoch(cfg.lr, epoch, cfg.lr_decay_epoch)
+            it = batching.train_batches(
+                split.history_idx, split.cat_idx, corpus.train_behavior_row,
+                corpus.train_pos, negatives, cfg.batch_size,
+                epoch_seed=cfg.seed * 7_000_003 + epoch,
+                shard_index=shard_index, shard_count=shard_count,
+            )
+            put = lambda b: mesh_lib.shard_batch_arrays(mesh, b)
+            losses = []
+            nsteps = 0
+            for batch in batching.Prefetcher(it, depth=3, transform=put):
+                step_rng = jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.seed), epoch * 1_000_000 + nsteps
+                )
+                params, opt_state, loss = step_fn(
+                    params, opt_state, tables, batch, step_rng,
+                    jnp.float32(lr),
+                )
+                losses.append(loss)
+                nsteps += 1
+            epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+            self._log(
+                f"Epoch {epoch}: train done | loss={epoch_loss:.4f} "
+                f"| steps={nsteps} | {time.time() - t0:.1f}s | lr={lr:g}"
+            )
+
+            # ---- dev scoring (every process scores; cheap eval sharding
+            # lands in eval/scorer via shard args when multi-host) ----
+            rank_file = (
+                os.path.join(self.run_dir, f"dev-epoch{epoch}.txt")
+                if self.is_main else None
+            )
+            auc, mrr, ndcg5, ndcg10 = compute_scores(
+                model, params, corpus, "dev", result_file=rank_file
+            )
+            self.history.append(
+                {"epoch": epoch, "loss": epoch_loss, "auc": auc, "mrr": mrr,
+                 "ndcg5": ndcg5, "ndcg10": ndcg10}
+            )
+            self._log(
+                f"Epoch {epoch}: dev AUC={auc:.4f} MRR={mrr:.4f} "
+                f"nDCG@5={ndcg5:.4f} nDCG@10={ndcg10:.4f}"
+            )
+
+            crit = self._criterion_value(auc, mrr, ndcg5, ndcg10)
+            improved = crit >= best
+            if improved:
+                best = crit
+                best_epoch = epoch
+                stale = 0
+                if self.is_main:
+                    with open(
+                        os.path.join(self.results_dir, f"#{self.run_index}-dev"),
+                        "w",
+                    ) as f:
+                        f.write(
+                            f"#{self.run_index}\t{auc}\t{mrr}\t{ndcg5}\t{ndcg10}\n"
+                        )
+                    ckpt_lib.save(
+                        os.path.join(self.run_dir, "best.ckpt"),
+                        params, opt_state, epoch,
+                    )
+            else:
+                stale += 1
+            # broadcast the stop decision across hosts (fixes the
+            # reference's main-rank-only break)
+            stop = stale > cfg.early_stopping_epoch
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                stop = bool(
+                    multihost_utils.broadcast_one_to_all(np.asarray(stop))
+                )
+            if stop:
+                self._log(f"Early stop at epoch {epoch} (best {best_epoch})")
+                break
+
+        if self.is_main:
+            with open(os.path.join(self.run_dir, "dev_log.txt"), "w") as f:
+                f.write("Epoch\tAUC\tMRR\tnDCG@5\tnDCG@10\n")
+                for h in self.history:
+                    f.write(
+                        "%d\t%.4f\t%.4f\t%.4f\t%.4f\n"
+                        % (h["epoch"], h["auc"], h["mrr"], h["ndcg5"], h["ndcg10"])
+                    )
+                f.write(f"Best dev epoch : {best_epoch}\n")
+        self.best_epoch = best_epoch
+        return params, opt_state
