@@ -1,0 +1,96 @@
+"""End-to-end smoke: CLI train on tiny synthetic data, then checkpoint
+re-evaluation — the full preprocessing + training + cached-eval stack."""
+
+import os
+
+import numpy as np
+import pytest
+
+from digat_tpu import cli
+from digat_tpu.config import Config
+from digat_tpu.data import corpus as corpus_lib
+from digat_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def run_root(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("e2e"))
+
+
+def tiny_cfg(run_root, **kw):
+    cfg = Config(
+        dataset="synthetic",
+        data_root=os.path.join(run_root, "data"),
+        run_root=os.path.join(run_root, "runs"),
+        epoch=1, batch_size=8, max_history_num=8, max_title_length=10,
+        SAG_neighbors=2, SAG_hops=2, graph_depth=1,
+        MSA_head_num=4, MSA_head_dim=10, cnn_kernel_num=40,
+        attention_dim=32, eval_batch_size=32, use_pallas=False,
+        **kw,
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained(run_root):
+    root = os.path.join(run_root, "data", "synthetic")
+    synthetic.generate(
+        root, news_num=100, categories=4, train_behaviors=40,
+        dev_behaviors=15, test_behaviors=15, users=15,
+    )
+    cfg = tiny_cfg(run_root)
+    cli.run_train(cfg)
+    return cfg
+
+
+def test_train_produces_artifacts(trained, run_root):
+    cfg = trained
+    run_dir = os.path.join(
+        cfg.run_root, cfg.dataset, cfg.model_name, f"#{cfg.run_index}"
+    )
+    assert os.path.exists(os.path.join(run_dir, "best.ckpt"))
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+    assert os.path.exists(os.path.join(run_dir, "dev_log.txt"))
+    assert os.path.exists(os.path.join(run_dir, "test-prediction.txt"))
+    res = os.path.join(
+        cfg.run_root, "results", cfg.dataset, cfg.model_name,
+        f"#{cfg.run_index}-dev",
+    )
+    content = open(res).read().strip().split("\t")
+    assert len(content) == 5
+    metrics = [float(x) for x in content[1:]]
+    assert all(0.0 <= m <= 1.0 for m in metrics)
+
+
+def test_eval_mode_reproduces(trained, run_root, capsys):
+    cfg = trained
+    run_dir = os.path.join(
+        cfg.run_root, cfg.dataset, cfg.model_name, f"#{cfg.run_index}"
+    )
+    cfg2 = tiny_cfg(run_root)
+    cfg2.dev_model_path = os.path.join(run_dir, "best.ckpt")
+    cli.run_eval(cfg2, "dev")
+    out = capsys.readouterr().out
+    assert "[dev]" in out and "AUC=" in out
+    # dev metrics from the reloaded checkpoint match the training run's best
+    res = os.path.join(
+        cfg.run_root, "results", cfg.dataset, cfg.model_name,
+        f"#{cfg.run_index}-dev",
+    )
+    best_auc = float(open(res).read().split("\t")[1])
+    reloaded_auc = float(out.split("AUC=")[1].split(" ")[0])
+    np.testing.assert_allclose(reloaded_auc, best_auc, atol=2e-4)
+
+
+def test_rank_file_is_leaderboard_format(trained, run_root):
+    cfg = trained
+    run_dir = os.path.join(
+        cfg.run_root, cfg.dataset, cfg.model_name, f"#{cfg.run_index}"
+    )
+    lines = open(os.path.join(run_dir, "test-prediction.txt")).read().split("\n")
+    corpus = corpus_lib.Corpus(tiny_cfg(run_root))
+    n_imp = int(corpus.test_imp_index.max()) + 1
+    assert len(lines) == n_imp
+    first = lines[0].split(" ")
+    assert first[0] == "1"
+    assert first[1].startswith("[") and first[1].endswith("]")

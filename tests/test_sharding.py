@@ -1,0 +1,77 @@
+"""Multi-device semantics on the 8-device CPU mesh: data-parallel training
+must be numerically equivalent to single-device, and the row-sharded
+embedding path must produce identical results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import __graft_entry__ as graft
+from digat_tpu.parallel import mesh as mesh_lib
+from digat_tpu.train.optimizer import make_optimizer
+from digat_tpu.train.train_step import make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from digat_tpu.models.model import Model
+
+    cfg = graft._tiny_config()
+    model = Model(cfg)
+    tables, batch = graft._tiny_data(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.weight_decay, cfg.gradient_clip_norm, params)
+    return model, tables, batch, params, tx
+
+
+def _run_steps(model, tx, params, tables, batch, mesh, n_model, steps=2):
+    # deep-copy: the jitted step donates params/opt_state buffers
+    params = jax.tree.map(jnp.array, params)
+    opt_state = tx.init(params)
+    if mesh is not None:
+        params = jax.device_put(
+            params, mesh_lib.param_shardings(mesh, params, n_model > 1)
+        )
+        opt_state = jax.device_put(opt_state, mesh_lib.replicated(mesh))
+        tables = jax.device_put(tables, mesh_lib.replicated(mesh))
+        batch = mesh_lib.shard_batch_arrays(mesh, batch)
+    step = make_train_step(model, tx)
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(
+            params, opt_state, tables, batch, jax.random.PRNGKey(42),
+            jnp.float32(1e-3),
+        )
+        losses.append(float(loss))
+    return losses, jax.tree.map(np.asarray, params)
+
+
+def test_dp_matches_single_device(setup):
+    model, tables, batch, params, tx = setup
+    ref_losses, ref_params = _run_steps(
+        model, tx, params, tables, batch, None, 1
+    )
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    dp_losses, dp_params = _run_steps(model, tx, params, tables, batch, mesh, 1)
+    np.testing.assert_allclose(ref_losses, dp_losses, rtol=5e-4)
+    for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(dp_params)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4)
+
+
+def test_model_sharded_embedding_matches(setup):
+    model, tables, batch, params, tx = setup
+    ref_losses, _ = _run_steps(model, tx, params, tables, batch, None, 1)
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    sh_losses, _ = _run_steps(model, tx, params, tables, batch, mesh, 2)
+    np.testing.assert_allclose(ref_losses, sh_losses, rtol=5e-4)
+
+
+def test_dryrun_multichip_entry():
+    graft.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (args[2].sample_idx.shape[0], args[2].sample_idx.shape[1])
