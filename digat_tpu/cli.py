@@ -22,6 +22,16 @@ from digat_tpu.train import checkpoint as ckpt_lib
 from digat_tpu.train.trainer import Trainer
 
 
+def build_model(cfg: Config):
+    """Model-family dispatch: the DIGAT dual-graph stack or the Appendix-B
+    NRMS / NRMS-SA sequence stack."""
+    if cfg.model_family == "nrms":
+        from digat_tpu.models.nrms import NRMSModel
+
+        return NRMSModel(cfg)
+    return Model(cfg)
+
+
 def prepare(cfg: Config, glove_path: Optional[str] = None) -> corpus_lib.Corpus:
     root = os.path.join(cfg.data_root, cfg.dataset)
     if cfg.dataset == "synthetic" and not os.path.exists(
@@ -35,7 +45,7 @@ def prepare(cfg: Config, glove_path: Optional[str] = None) -> corpus_lib.Corpus:
 
 def run_train(cfg: Config) -> None:
     corpus = prepare(cfg)
-    model = Model(cfg)
+    model = build_model(cfg)
     trainer = Trainer(model, cfg, corpus)
     params, _ = trainer.train()
     # auto-test on the best checkpoint (main.py:59-62)
@@ -59,7 +69,7 @@ def run_eval(cfg: Config, mode: str) -> None:
     path = cfg.dev_model_path if mode == "dev" else cfg.test_model_path
     assert path, f"--{mode}_model_path required"
     corpus = prepare(cfg)
-    model = Model(cfg)
+    model = build_model(cfg)
     params, _, epoch = ckpt_lib.load(path, model.param_template(), None)
     t0 = time.time()
     out = cfg.test_output_file or None

@@ -80,6 +80,14 @@ class Config:
     # SAG
     SAG_hops: int = 2
     SAG_neighbors: int = 5
+    # Model family: 'digat' (main experiment) or 'nrms' (Appendix-B SA
+    # strategy on a sequence model)
+    model_family: str = "digat"
+    nrms_model: str = "NRMS-SA"  # NRMS-SA | NRMS
+    nrms_head_num: int = 20
+    nrms_head_dim: int = 20
+    nrms_attention_dim: int = 200
+    augmented_news_num: int = 10
     # Populated from the corpus at load time
     vocabulary_size: int = 0
     category_num: int = 0
@@ -138,6 +146,8 @@ class Config:
         if self.cnn_method == "group5":
             assert self.cnn_kernel_num % 5 == 0
         assert self.compute_dtype in ("float32", "bfloat16")
+        assert self.model_family in ("digat", "nrms")
+        assert self.nrms_model in ("NRMS-SA", "NRMS")
         return self
 
     def to_json(self) -> str:

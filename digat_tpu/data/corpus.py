@@ -45,6 +45,9 @@ def _paths(cfg: Config) -> Dict[str, str]:
         "news": os.path.join(cache, f"news-{key_vocab}.npz"),
         "graph": os.path.join(cache, f"news_graph-{key_graph}.npz"),
         "behaviors": os.path.join(cache, f"behaviors-{cfg.max_history_num}.npz"),
+        "augmented": os.path.join(
+            cache, f"augmented_news-{cfg.augmented_news_num}.npz"
+        ),
     }
 
 
@@ -183,6 +186,25 @@ def preprocess(cfg: Config, glove_path: Optional[str] = None, verbose: bool = Fa
             news_graph_mask=mask,
         )
 
+    # ---- 5b. SA news sequence (NRMS family; Appendix-B strategy) ----
+    if cfg.model_family == "nrms" and not os.path.exists(p["augmented"]):
+        rows_by_cat = {c: [] for c in cat_dict}
+        seen = set()
+        for i, split in enumerate(SPLITS):
+            domain = "train_dev" if i < 2 else "test"
+            for news_id, cat, _, title, abstract in _read_news_tsv(
+                os.path.join(roots[split], "news.tsv")
+            ):
+                if news_id not in seen:
+                    seen.add(news_id)
+                    rows_by_cat[cat].append((domain, news_id, title, abstract))
+        aug = sag_mod.construct_sa_sequence(
+            rows_by_cat, news_dict, cfg.augmented_news_num,
+            exclude_test_from_corpus=cfg.dataset != "MIND-large",
+            seed=cfg.seed,
+        )
+        np.savez_compressed(p["augmented"], augmented_news=aug)
+
     # ---- 6. behaviors (compact index encoding) ----
     if not os.path.exists(p["behaviors"]):
         news_category = np.load(p["news"])["news_category"]
@@ -280,6 +302,10 @@ class Corpus:
         # (reference mutates this at load: MIND_corpus.py:210)
         self.news_graph_mask[:, 0] = 0
 
+        self.augmented_news = None
+        if os.path.exists(p["augmented"]):
+            self.augmented_news = np.load(p["augmented"])["augmented_news"]
+
         b = np.load(p["behaviors"])
         self.splits = {
             s: Split(b[f"{s}_history_idx"], b[f"{s}_cat_idx"]) for s in SPLITS
@@ -306,6 +332,21 @@ class Corpus:
             news_node_id=jnp.asarray(self.news_node_id),
             news_graph=jnp.asarray(self.news_graph),
             news_graph_mask=jnp.asarray(self.news_graph_mask),
+        )
+
+    def nrms_tables(self):
+        import jax.numpy as jnp
+
+        from digat_tpu.models.nrms import NRMSTables
+
+        assert self.augmented_news is not None, (
+            "augmented-news artifact missing; preprocess with "
+            "model_family='nrms'"
+        )
+        return NRMSTables(
+            news_title_text=jnp.asarray(self.news_title_text),
+            news_title_mask=jnp.asarray(self.news_title_mask),
+            augmented_news=jnp.asarray(self.augmented_news),
         )
 
     def num_train_samples(self) -> int:

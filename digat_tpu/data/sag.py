@@ -272,17 +272,16 @@ def expand_graph(
 # ---------------------------------------------------------------------------
 
 
-def construct_sag(
+def mine_similarity(
     news_rows_by_category: Dict[str, List[Tuple[str, str, str, str]]],
     news_id_dict: Dict[str, int],
     top_m: int,
-    hops: int,
-    node_num: int,
     embedder: Callable[[Sequence[str]], np.ndarray] = hash_embedder,
     exclude_test_from_corpus: bool = True,
     seed: int = 0,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Build the SAG for the whole corpus.
+) -> Dict[str, List[Tuple[str, float]]]:
+    """Per-news top-M neighbor lists across all categories (the 'average'
+    channel aggregate, construct_SAG.py:425-446).
 
     `news_rows_by_category`: per category, rows (domain, news_ID, title,
     content) where domain is 'train_dev' or 'test'. The corpus (neighbor
@@ -318,4 +317,46 @@ def construct_sag(
         )
     for news_id in news_id_dict:
         similarity.setdefault(news_id, [])
+    return similarity
+
+
+def construct_sag(
+    news_rows_by_category: Dict[str, List[Tuple[str, str, str, str]]],
+    news_id_dict: Dict[str, int],
+    top_m: int,
+    hops: int,
+    node_num: int,
+    embedder: Callable[[Sequence[str]], np.ndarray] = hash_embedder,
+    exclude_test_from_corpus: bool = True,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build the per-news SAG graphs for the whole corpus."""
+    similarity = mine_similarity(
+        news_rows_by_category, news_id_dict, top_m, embedder,
+        exclude_test_from_corpus, seed,
+    )
     return expand_graph(similarity, news_id_dict, top_m, hops, node_num)
+
+
+def construct_sa_sequence(
+    news_rows_by_category: Dict[str, List[Tuple[str, str, str, str]]],
+    news_id_dict: Dict[str, int],
+    top_m: int,
+    embedder: Callable[[Sequence[str]], np.ndarray] = hash_embedder,
+    exclude_test_from_corpus: bool = True,
+    seed: int = 0,
+) -> np.ndarray:
+    """Flat semantic-augmentation matrix [news_num, top_m] int32 of neighbor
+    news ids (0-padded) — the Appendix-B SA strategy artifact (no BFS,
+    Appendix-B/MIND_corpus.py:110-121)."""
+    similarity = mine_similarity(
+        news_rows_by_category, news_id_dict, top_m, embedder,
+        exclude_test_from_corpus, seed,
+    )
+    out = np.zeros((len(news_id_dict), top_m), np.int32)
+    for news_id, idx in news_id_dict.items():
+        if idx == 0:
+            continue
+        for j, (nbr, _) in enumerate(similarity[news_id][:top_m]):
+            out[idx, j] = news_id_dict[nbr]
+    return out

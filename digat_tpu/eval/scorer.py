@@ -124,18 +124,98 @@ class CachedScorer:
         return scores
 
 
+class NRMSCachedScorer:
+    """Dual-cache eval for the NRMS family (Appendix-B/util.py:20-55):
+    plain reps feed the user encoder; SA-fused reps (computed *from* the
+    cached plain reps — the fusion attends over neighbor reps produced by
+    the same tower) score candidates."""
+
+    def __init__(self, model, batch_size: int = 1024):
+        self.model = model
+        self.batch_size = batch_size
+        st = model.st
+
+        def encode_chunk(params, text, mask, start):
+            import jax.random as jr
+
+            text = jax.lax.dynamic_slice_in_dim(text, start, batch_size)
+            mask = jax.lax.dynamic_slice_in_dim(mask, start, batch_size)
+            return model._encode_titles(
+                params, st, jr.PRNGKey(0), False, text, mask
+            )
+
+        def fuse_chunk(params, plain_reps, aug_ids, start):
+            import jax.random as jr
+
+            ids = jax.lax.dynamic_slice_in_dim(aug_ids, start, batch_size)
+            own = jax.lax.dynamic_slice_in_dim(plain_reps, start, batch_size)
+            aug = plain_reps[ids]  # [b, M, D]
+            return model._fuse_sa(params, st, jr.PRNGKey(0), False, own, aug)
+
+        def score_batch(params, plain_reps, cand_reps, batch: EvalBatch):
+            hist = plain_reps[batch.history_idx]
+            user = model.encode_user(params, hist, batch.history_idx != 0)
+            return jnp.einsum("bd,bd->b", cand_reps[batch.cand_idx], user)
+
+        self._encode_chunk = jax.jit(encode_chunk)
+        self._fuse_chunk = jax.jit(fuse_chunk)
+        self._score_batch = jax.jit(score_batch)
+
+    def cache_news(self, params, tables):
+        n = tables.news_title_text.shape[0]
+        bs = self.batch_size
+        pad = (-n) % bs
+        padded = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        text, mask = padded(tables.news_title_text), padded(tables.news_title_mask)
+        reps = [
+            self._encode_chunk(params, text, mask, s) for s in range(0, n + pad, bs)
+        ]
+        plain = jnp.concatenate(reps)[:n]
+        if not self.model.st.sa:
+            return plain, plain
+        aug_ids = padded(tables.augmented_news)
+        plain_padded = jnp.pad(plain, [(0, pad), (0, 0)])
+        fused = [
+            self._fuse_chunk(params, plain_padded, aug_ids, s)
+            for s in range(0, n + pad, bs)
+        ]
+        return plain, jnp.concatenate(fused)[:n]
+
+    def score_items(self, params, tables, history_idx, cat_idx, imp_index,
+                    cand, *, shard_index: int = 0, shard_count: int = 1):
+        plain, fused = self.cache_news(params, tables)
+        scores = np.zeros(len(cand), np.float32)
+        item_ids = np.arange(len(cand))[shard_index::shard_count]
+        it = eval_batches(
+            history_idx, cat_idx, imp_index, cand, self.batch_size,
+            shard_index=shard_index, shard_count=shard_count,
+        )
+        pos = 0
+        for batch, valid in Prefetcher(it, depth=2):
+            s = self._score_batch(params, plain, fused, batch)
+            scores[item_ids[pos : pos + valid]] = np.asarray(s[:valid])
+            pos += valid
+        return scores
+
+
 def compute_scores(
-    model: Model,
+    model,
     params,
     corpus,
     mode: str,
     batch_size: Optional[int] = None,
     result_file: Optional[str] = None,
 ) -> Tuple[float, float, float, float]:
-    """End-to-end dev/test scoring -> (auc, mrr, ndcg5, ndcg10)."""
+    """End-to-end dev/test scoring -> (auc, mrr, ndcg5, ndcg10). Dispatches
+    on the model family (DIGAT two-stage graph cache vs NRMS dual cache)."""
     assert mode in ("dev", "test")
-    scorer = CachedScorer(model, batch_size or model.config.effective_eval_batch_size())
-    tables = corpus.tables()
+    bs = batch_size or model.config.effective_eval_batch_size()
+    if getattr(model, "family", "digat") == "nrms":
+        scorer = NRMSCachedScorer(model, bs)
+        tables = corpus.nrms_tables()
+    else:
+        scorer = CachedScorer(model, bs)
+        tables = corpus.tables()
     split = corpus.splits[mode]
     imp_index = getattr(corpus, f"{mode}_imp_index")
     cand = getattr(corpus, f"{mode}_cand")

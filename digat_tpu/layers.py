@@ -177,8 +177,12 @@ def mha_init(key, heads: int, d_model: int, d_k: int, d_v: int):
     }
 
 
-def mha(params, x, heads: int, compute_dtype=None):
-    """Self-attention. x: [..., L, d_model] -> [..., L, heads*d_v]."""
+def mha(params, x, heads: int, compute_dtype=None, key_mask=None):
+    """Self-attention. x: [..., L, d_model] -> [..., L, heads*d_v].
+
+    `key_mask` [..., L] masks keys with the -1e9 fill (the Appendix-B
+    masked variant, Appendix-B/layers.py:85-96); None reproduces the main
+    reference's unmasked softmax where pads attend (layers.py:75-88)."""
     h = heads
     d_k = params["W_K"]["w"].shape[-1] // h
     d_v = params["W_V"]["w"].shape[-1] // h
@@ -188,6 +192,10 @@ def mha(params, x, heads: int, compute_dtype=None):
     if compute_dtype is not None:
         q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
     a = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(float(d_k))
+    if key_mask is not None:
+        a = jnp.where(
+            key_mask[..., None, None, :].astype(bool), a, MASK_FILL
+        )
     alpha = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(v.dtype)
     out = jnp.einsum("...hqk,...khd->...qhd", alpha, v)
     return out.reshape(*x.shape[:-1], h * d_v).astype(jnp.float32)

@@ -55,6 +55,8 @@ class EvalBatch(NamedTuple):
 class Model:
     """Bundles static configuration; all apply methods are pure functions."""
 
+    family = "digat"
+
     def __init__(self, config: Config):
         config.validate()
         self.config = config

@@ -120,7 +120,12 @@ class Trainer:
         p_sh = mesh_lib.param_shardings(mesh, params, cfg.mesh_model > 1)
         params = jax.device_put(params, p_sh)
         opt_state = jax.device_put(opt_state, mesh_lib.replicated(mesh))
-        tables = jax.device_put(corpus.tables(), mesh_lib.replicated(mesh))
+        raw_tables = (
+            corpus.nrms_tables()
+            if getattr(model, "family", "digat") == "nrms"
+            else corpus.tables()
+        )
+        tables = jax.device_put(raw_tables, mesh_lib.replicated(mesh))
         step_fn = make_train_step(model, self.tx)
 
         rng = np.random.default_rng(cfg.seed)
