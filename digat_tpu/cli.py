@@ -34,11 +34,14 @@ def build_model(cfg: Config):
 
 def prepare(cfg: Config, glove_path: Optional[str] = None) -> corpus_lib.Corpus:
     root = os.path.join(cfg.data_root, cfg.dataset)
-    if cfg.dataset == "synthetic" and not os.path.exists(
-        os.path.join(root, "train", "behaviors.tsv")
-    ):
-        print(f"[prepare] generating synthetic dataset under {root}")
-        synthetic.generate(root)
+    if cfg.dataset == "synthetic":
+        if not os.path.exists(os.path.join(root, "train", "behaviors.tsv")):
+            print(f"[prepare] generating synthetic dataset under {root}")
+            synthetic.generate(root)
+    else:
+        from digat_tpu.data import prepare as prepare_lib
+
+        prepare_lib.prepare(cfg.dataset, cfg.data_root, cfg.seed)
     corpus_lib.preprocess(cfg, glove_path=glove_path, verbose=True)
     return corpus_lib.Corpus(cfg)
 

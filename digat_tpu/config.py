@@ -100,6 +100,7 @@ class Config:
     eval_batch_size: int = 0  # 0 = batch_size * 16 (reference: trainer.py:114)
     run_root: str = "runs"
     run_index: int = 0
+    profile_dir: str = ""  # jax.profiler trace output (empty = off)
 
     def __post_init__(self) -> None:
         if self.dataset == "MIND-small":

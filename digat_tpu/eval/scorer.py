@@ -220,9 +220,20 @@ def compute_scores(
     imp_index = getattr(corpus, f"{mode}_imp_index")
     cand = getattr(corpus, f"{mode}_cand")
     labels = getattr(corpus, f"{mode}_labels")
+    # multi-host: each process scores a strided shard; non-shard slots stay
+    # zero, so a cross-process sum reassembles the full vector (the
+    # reference instead idles all non-main ranks during eval,
+    # trainer.py:109-114)
     scores = scorer.score_items(
-        params, tables, split.history_idx, split.cat_idx, imp_index, cand
+        params, tables, split.history_idx, split.cat_idx, imp_index, cand,
+        shard_index=jax.process_index(), shard_count=jax.process_count(),
     )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        scores = np.asarray(
+            multihost_utils.process_allgather(scores)
+        ).sum(axis=0)
     by_imp_scores = M.group_by_impression(imp_index, scores)
     by_imp_labels = M.group_by_impression(imp_index, labels)
     if result_file:

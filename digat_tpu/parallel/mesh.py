@@ -26,6 +26,31 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bootstrap (the reference's dist.init_process_group
+    equivalent, config.py:89). On TPU pods with default env vars all
+    arguments resolve automatically; no-op when already initialized or
+    single-process with no coordinator configured."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    import os
+
+    if coordinator_address is None and "COORDINATOR_ADDRESS" in os.environ:
+        coordinator_address = os.environ["COORDINATOR_ADDRESS"]
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        pass  # single-process / already-initialized environments
+
+
 def make_mesh(data: int = 0, model: int = 1, devices=None) -> Mesh:
     """`data=0` means: use all devices not consumed by `model`."""
     devices = list(devices if devices is not None else jax.devices())

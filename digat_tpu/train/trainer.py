@@ -38,6 +38,7 @@ from digat_tpu.parallel import mesh as mesh_lib
 from digat_tpu.train import checkpoint as ckpt_lib
 from digat_tpu.train.optimizer import lr_at_epoch, make_optimizer
 from digat_tpu.train.train_step import make_train_step
+from digat_tpu.utils import profiling
 
 
 def get_run_index(results_dir: str) -> int:
@@ -153,20 +154,37 @@ class Trainer:
             put = lambda b: mesh_lib.shard_batch_arrays(mesh, b)
             losses = []
             nsteps = 0
+            timer = profiling.StepTimer(warmup=2)
+            profile_span = (10, 20) if (cfg.profile_dir and epoch == 1) else None
             for batch in batching.Prefetcher(it, depth=3, transform=put):
-                step_rng = jax.random.fold_in(
-                    jax.random.PRNGKey(cfg.seed), epoch * 1_000_000 + nsteps
-                )
-                params, opt_state, loss = step_fn(
-                    params, opt_state, tables, batch, step_rng,
-                    jnp.float32(lr),
-                )
+                if profile_span and nsteps == profile_span[0]:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                with timer.step():
+                    step_rng = jax.random.fold_in(
+                        jax.random.PRNGKey(cfg.seed), epoch * 1_000_000 + nsteps
+                    )
+                    params, opt_state, loss = step_fn(
+                        params, opt_state, tables, batch, step_rng,
+                        jnp.float32(lr),
+                    )
                 losses.append(loss)
                 nsteps += 1
+                if profile_span and nsteps == profile_span[1]:
+                    jax.profiler.stop_trace()
+                    profile_span = None
+            if profile_span and nsteps > profile_span[0]:
+                jax.profiler.stop_trace()
             epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+            stats = timer.summary()
+            rate = (
+                f"{stats['steps_per_s'] * cfg.batch_size:,.0f} samples/s"
+                if stats.get("steps_per_s")
+                else "n/a"
+            )
             self._log(
                 f"Epoch {epoch}: train done | loss={epoch_loss:.4f} "
-                f"| steps={nsteps} | {time.time() - t0:.1f}s | lr={lr:g}"
+                f"| steps={nsteps} | {time.time() - t0:.1f}s | lr={lr:g} "
+                f"| {rate}"
             )
 
             # ---- dev scoring (every process scores; cheap eval sharding
