@@ -208,63 +208,125 @@ def preprocess(cfg: Config, glove_path: Optional[str] = None, verbose: bool = Fa
     # ---- 6. behaviors (compact index encoding) ----
     if not os.path.exists(p["behaviors"]):
         news_category = np.load(p["news"])["news_category"]
-        C = len(cat_dict)
-        H = cfg.max_history_num
         out: Dict[str, np.ndarray] = {}
         for split in SPLITS:
-            hist_rows, cat_rows = [], []
-            pos, neg_flat, neg_off, beh_row = [], [], [0], []
-            cand, imp_index, labels = [], [], []
-            for row, (_, _, history, impressions) in enumerate(
-                _read_behaviors_tsv(os.path.join(roots[split], "behaviors.tsv"))
-            ):
-                h_idx = np.zeros(H, np.int32)
-                c_idx = np.full(H, C, np.int16)
-                if history:
-                    ids = [news_dict[x] for x in history.split(" ")]
-                    ids = ids[-H:]
-                    h_idx[: len(ids)] = ids
-                    c_idx[: len(ids)] = news_category[ids]
-                hist_rows.append(h_idx)
-                cat_rows.append(c_idx)
-                clicks, nonclicks, labs, cands = [], [], [], []
-                for imp in impressions.split(" "):
-                    if imp.endswith("-1"):
-                        clicks.append(news_dict[imp[:-2]])
-                        labs.append(1)
-                        cands.append(news_dict[imp[:-2]])
-                    elif imp.endswith("-0"):
-                        nonclicks.append(news_dict[imp[:-2]])
-                        labs.append(0)
-                        cands.append(news_dict[imp[:-2]])
-                    else:  # unlabeled (MIND-large test)
-                        labs.append(0)
-                        cands.append(news_dict[imp])
-                if split == "train":
-                    for c in clicks:
-                        pos.append(c)
-                        neg_flat.extend(nonclicks)
-                        neg_off.append(len(neg_flat))
-                        beh_row.append(row)
-                else:
-                    for c, l in zip(cands, labs):
-                        cand.append(c)
-                        imp_index.append(row)
-                        labels.append(l)
-            out[f"{split}_history_idx"] = np.asarray(hist_rows, np.int32)
-            out[f"{split}_cat_idx"] = np.asarray(cat_rows, np.int16)
-            if split == "train":
-                out["train_pos"] = np.asarray(pos, np.int32)
-                out["train_neg_flat"] = np.asarray(neg_flat, np.int32)
-                out["train_neg_offsets"] = np.asarray(neg_off, np.int64)
-                out["train_behavior_row"] = np.asarray(beh_row, np.int32)
-            else:
-                out[f"{split}_cand"] = np.asarray(cand, np.int32)
-                out[f"{split}_imp_index"] = np.asarray(imp_index, np.int32)
-                out[f"{split}_labels"] = np.asarray(labels, np.int8)
+            ragged = _parse_behaviors(
+                os.path.join(roots[split], "behaviors.tsv"), news_dict
+            )
+            out.update(_assemble_split(cfg, split, ragged, news_category,
+                                       len(cat_dict)))
         np.savez_compressed(p["behaviors"], **out)
     if verbose:
         print(f"[corpus] artifacts ready under {p['cache']}")
+
+
+def _parse_behaviors(path: str, news_dict: Dict[str, int]) -> Dict[str, np.ndarray]:
+    """behaviors.tsv -> ragged (flat, offsets) arrays. Native C++ parser
+    when the toolchain is available (digat_tpu/native), else pure Python
+    with the identical contract."""
+    try:
+        from digat_tpu import native
+
+        if native.available():
+            return native.parse_behaviors_native(path, news_dict)
+    except ImportError:
+        pass
+    out = {
+        "history_flat": [], "history_offsets": [0],
+        "clicks_flat": [], "clicks_offsets": [0],
+        "nonclicks_flat": [], "nonclicks_offsets": [0],
+        "cand_flat": [], "label_flat": [], "cand_offsets": [0],
+    }
+    for _, _, history, impressions in _read_behaviors_tsv(path):
+        if history:
+            out["history_flat"].extend(news_dict[x] for x in history.split(" "))
+        out["history_offsets"].append(len(out["history_flat"]))
+        for imp in impressions.split(" "):
+            if imp.endswith("-1"):
+                idx, label = news_dict[imp[:-2]], 1
+                out["clicks_flat"].append(idx)
+            elif imp.endswith("-0"):
+                idx, label = news_dict[imp[:-2]], 0
+                out["nonclicks_flat"].append(idx)
+            else:  # unlabeled (MIND-large test)
+                idx, label = news_dict[imp], -1
+            out["cand_flat"].append(idx)
+            out["label_flat"].append(label)
+        out["cand_offsets"].append(len(out["cand_flat"]))
+        out["clicks_offsets"].append(len(out["clicks_flat"]))
+        out["nonclicks_offsets"].append(len(out["nonclicks_flat"]))
+    dtypes = {"label_flat": np.int8}
+    return {
+        k: np.asarray(v, dtypes.get(k, np.int64 if "offsets" in k else np.int32))
+        for k, v in out.items()
+    }
+
+
+def _assemble_split(
+    cfg: Config, split: str, ragged: Dict[str, np.ndarray],
+    news_category: np.ndarray, category_num: int,
+) -> Dict[str, np.ndarray]:
+    """Vectorized assembly of the per-split artifacts from ragged arrays:
+    tail-truncated padded histories + per-slot categories, and either
+    per-positive train samples or per-item eval rows."""
+    H, C = cfg.max_history_num, category_num
+    h_off = ragged["history_offsets"]
+    rows = len(h_off) - 1
+    lengths = np.diff(h_off)
+    take = np.minimum(lengths, H)
+    starts = h_off[1:] - take  # tail truncation (MIND_corpus.py:282)
+    slot = np.arange(H)[None, :]
+    valid = slot < take[:, None]
+    gather = np.minimum(starts[:, None] + slot, len(ragged["history_flat"]) - 1)
+    history_idx = np.where(
+        valid, ragged["history_flat"][gather] if len(ragged["history_flat"]) else 0, 0
+    ).astype(np.int32)
+    cat_idx = np.where(
+        valid, news_category[history_idx], C
+    ).astype(np.int16)
+    out = {
+        f"{split}_history_idx": history_idx,
+        f"{split}_cat_idx": cat_idx,
+    }
+    if split == "train":
+        clicks_per_row = np.diff(ragged["clicks_offsets"])
+        nonclicks_per_row = np.diff(ragged["nonclicks_offsets"])
+        out["train_pos"] = ragged["clicks_flat"].astype(np.int32)
+        out["train_behavior_row"] = np.repeat(
+            np.arange(rows, dtype=np.int32), clicks_per_row
+        )
+        # per-sample negative pool = the row's non-clicks (duplicated per
+        # positive, matching the reference's per-sample lists)
+        n_samples = len(out["train_pos"])
+        sample_rows = out["train_behavior_row"]
+        sizes = nonclicks_per_row[sample_rows]
+        neg_off = np.zeros(n_samples + 1, np.int64)
+        np.cumsum(sizes, out=neg_off[1:])
+        row_start = ragged["nonclicks_offsets"][:-1]
+        flat_idx = (
+            np.repeat(row_start[sample_rows], sizes)
+            + _ragged_arange(sizes)
+        )
+        out["train_neg_flat"] = ragged["nonclicks_flat"][flat_idx].astype(np.int32)
+        out["train_neg_offsets"] = neg_off
+    else:
+        items_per_row = np.diff(ragged["cand_offsets"])
+        out[f"{split}_cand"] = ragged["cand_flat"].astype(np.int32)
+        out[f"{split}_imp_index"] = np.repeat(
+            np.arange(rows, dtype=np.int32), items_per_row
+        )
+        out[f"{split}_labels"] = np.maximum(
+            ragged["label_flat"], 0
+        ).astype(np.int8)  # unlabeled -> 0, as the reference treats them
+    return out
+
+
+def _ragged_arange(sizes: np.ndarray) -> np.ndarray:
+    """[0..s0-1, 0..s1-1, ...] for a vector of segment sizes."""
+    total = int(sizes.sum())
+    ids = np.arange(total)
+    seg_starts = np.repeat(np.cumsum(sizes) - sizes, sizes)
+    return ids - seg_starts
 
 
 @dataclass

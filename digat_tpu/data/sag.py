@@ -222,13 +222,35 @@ def expand_graph(
     top_m: int,
     hops: int,
     node_num: int,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-news BFS expansion to `hops` with the 0.5-threshold pruning.
 
     Returns (news_node_ID [N, G] int32, news_graph [N, G, G] bool,
     news_graph_mask [N, G] bool). Row 0 (the <PAD> news) stays empty.
     Self-loops are NOT added here (the corpus loader adds them, matching
-    MIND_corpus.py:117-118)."""
+    MIND_corpus.py:117-118).
+
+    Dispatches to the native C++ BFS (digat_tpu/native) when available;
+    this Python body is the reference implementation and fallback."""
+    try:
+        from digat_tpu import native
+
+        if use_native and native.available():
+            inv_order = sorted(news_id_dict.items(), key=lambda kv: kv[1])
+            idx, cos, off = [], [], [0]
+            for news_id, _ in inv_order:
+                for nbr, c in similarity[news_id]:
+                    idx.append(news_id_dict[nbr])
+                    cos.append(c)
+                off.append(len(idx))
+            return native.expand_graph_native(
+                np.asarray(idx, np.int32), np.asarray(cos, np.float32),
+                np.asarray(off, np.int64), top_m, hops, node_num,
+                SIMILARITY_THRESHOLD,
+            )
+    except ImportError:
+        pass
     news_num = len(news_id_dict)
     inv = {v: k for k, v in news_id_dict.items()}
     node_id = np.zeros((news_num, node_num), np.int32)

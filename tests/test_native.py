@@ -1,0 +1,94 @@
+"""Native C++ loader vs the pure-Python reference implementations."""
+
+import numpy as np
+import pytest
+
+from digat_tpu.data import sag
+
+native = pytest.importorskip("digat_tpu.native")
+if not native.available():  # toolchain missing
+    pytest.skip("native toolchain unavailable", allow_module_level=True)
+
+
+def similarity_to_flat(similarity, news_id_dict):
+    """Convert the {news_id: [(nbr_id, cos)]} dict into index form."""
+    inv = sorted(news_id_dict.items(), key=lambda kv: kv[1])
+    idx, cos, off = [], [], [0]
+    for news_id, _ in inv:
+        for nbr, c in similarity[news_id]:
+            idx.append(news_id_dict[nbr])
+            cos.append(c)
+        off.append(len(idx))
+    return (
+        np.asarray(idx, np.int32),
+        np.asarray(cos, np.float32),
+        np.asarray(off, np.int64),
+    )
+
+
+def test_expand_graph_matches_python():
+    rng = np.random.default_rng(0)
+    n = 40
+    news_id_dict = {"<PAD>": 0, **{f"N{i}": i for i in range(1, n)}}
+    inv = {v: k for k, v in news_id_dict.items()}
+    top_m, hops = 4, 2
+    similarity = {"<PAD>": []}
+    for i in range(1, n):
+        nbrs = rng.choice(np.arange(1, n), size=top_m, replace=False)
+        cos = np.sort(rng.random(top_m).astype(np.float32))[::-1]
+        similarity[inv[i]] = [(inv[j], float(c)) for j, c in zip(nbrs, cos)]
+    node_num = 1 + top_m + top_m * (top_m - 1)
+
+    ref = sag.expand_graph(similarity, news_id_dict, top_m, hops, node_num)
+    flat = similarity_to_flat(similarity, news_id_dict)
+    got = native.expand_graph_native(
+        *flat, top_m, hops, node_num, sag.SIMILARITY_THRESHOLD
+    )
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_parse_behaviors_matches_python(tmp_path):
+    news_dict = {"<PAD>": 0, "N1": 1, "N2": 2, "N3": 3, "N44": 4}
+    path = str(tmp_path / "behaviors.tsv")
+    lines = [
+        "1\tU1\ttime\tN1 N2\tN3-1 N44-0 N1-0",
+        "2\tU2\ttime\t\tN2-1 N3-0",  # empty history
+        "3\tU3\ttime\tN44\tN1 N2",  # unlabeled (MIND-large test style)
+    ]
+    with open(path, "w") as f:
+        f.write("\r\n".join(lines) + "\n")  # CRLF robustness
+    out = native.parse_behaviors_native(path, news_dict)
+    assert out["history_offsets"].tolist() == [0, 2, 2, 3]
+    assert out["history_flat"].tolist() == [1, 2, 4]
+    assert out["clicks_flat"].tolist() == [3, 2]
+    assert out["clicks_offsets"].tolist() == [0, 1, 2, 2]
+    assert out["nonclicks_flat"].tolist() == [4, 1, 3]
+    assert out["cand_flat"].tolist() == [3, 4, 1, 2, 3, 1, 2]
+    assert out["label_flat"].tolist() == [1, 0, 0, 1, 0, -1, -1]
+    assert out["cand_offsets"].tolist() == [0, 3, 5, 7]
+
+
+def test_parse_behaviors_scales(tmp_path):
+    """Smoke a larger file and cross-check totals."""
+    rng = np.random.default_rng(1)
+    news_dict = {"<PAD>": 0, **{f"N{i}": i for i in range(1, 500)}}
+    ids = list(news_dict)[1:]
+    path = str(tmp_path / "behaviors.tsv")
+    n_rows = 2000
+    with open(path, "w") as f:
+        for r in range(n_rows):
+            hist = " ".join(rng.choice(ids, rng.integers(0, 10), replace=False))
+            imps = " ".join(
+                f"{x}-{rng.integers(0, 2)}"
+                for x in rng.choice(ids, rng.integers(1, 8), replace=False)
+            )
+            f.write(f"{r}\tU{r}\tt\t{hist}\t{imps}\n")
+    out = native.parse_behaviors_native(path, news_dict)
+    assert len(out["cand_offsets"]) == n_rows + 1
+    assert (out["label_flat"] >= 0).all()
+    assert out["cand_offsets"][-1] == len(out["cand_flat"])
+    assert (
+        len(out["clicks_flat"]) + len(out["nonclicks_flat"])
+        == len(out["cand_flat"])
+    )

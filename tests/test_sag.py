@@ -2,26 +2,32 @@
 (reference construct_SAG.py:449-485) and the dedup/neighbor-list rules."""
 
 import numpy as np
+import pytest
 
 from digat_tpu.data import sag
+
+pytestmark = pytest.mark.parametrize("use_native", [False, True])
+
+def expand(*args, use_native=False, **kw):
+    return sag.expand_graph(*args, use_native=use_native, **kw)
 
 
 def ids(*names):
     return {"<PAD>": 0, **{n: i + 1 for i, n in enumerate(names)}}
 
 
-def test_bfs_hop0_takes_all_m_unconditionally():
+def test_bfs_hop0_takes_all_m_unconditionally(use_native):
     # M=2, hops=1: node A with neighbors below threshold still expands at hop 0
     d = ids("A", "B", "C")
     sim = {"A": [("B", 0.1), ("C", 0.05)], "B": [], "C": [], "<PAD>": []}
-    node_id, graph, mask = sag.expand_graph(sim, d, 2, 1, 3)
+    node_id, graph, mask = expand(sim, d, 2, 1, 3, use_native=use_native)
     a = d["A"]
     assert node_id[a].tolist() == [d["A"], d["B"], d["C"]]
     assert mask[a].tolist() == [True, True, True]
     assert graph[a, 0, 1] and graph[a, 1, 0] and graph[a, 0, 2]
 
 
-def test_bfs_deeper_hop_threshold_pruning():
+def test_bfs_deeper_hop_threshold_pruning(use_native):
     # M=3, hops=2: at depth 1, neighbors below 0.5 cos stop the walk
     d = ids("A", "B", "C", "D", "E")
     sim = {
@@ -30,14 +36,14 @@ def test_bfs_deeper_hop_threshold_pruning():
         "C": [], "D": [], "E": [], "<PAD>": [],
     }
     size = 1 + 3 + 3 * 2
-    node_id, graph, mask = sag.expand_graph(sim, d, 3, 2, size)
+    node_id, graph, mask = expand(sim, d, 3, 2, size, use_native=use_native)
     a = d["A"]
     got = [x for x in node_id[a].tolist() if x != 0]
     assert d["E"] not in got  # pruned by threshold
     assert set(got) == {d["A"], d["B"], d["C"], d["D"]}
 
 
-def test_bfs_deeper_hop_takes_at_most_m_minus_1():
+def test_bfs_deeper_hop_takes_at_most_m_minus_1(use_native):
     # M=3: deeper hops stop at index == M-1 (take at most 2 neighbors)
     d = ids("A", "B", "C", "D", "E", "F", "G")
     sim = {
@@ -46,21 +52,21 @@ def test_bfs_deeper_hop_takes_at_most_m_minus_1():
         "C": [], "D": [], "E": [], "F": [], "G": [], "<PAD>": [],
     }
     size = 1 + 3 + 3 * 2
-    node_id, graph, mask = sag.expand_graph(sim, d, 3, 2, size)
+    node_id, graph, mask = expand(sim, d, 3, 2, size, use_native=use_native)
     a = d["A"]
     got = set(x for x in node_id[a].tolist() if x != 0)
     assert d["G"] not in got
     assert {d["E"], d["F"]} <= got
 
 
-def test_bfs_revisited_node_gains_edge_not_slot():
+def test_bfs_revisited_node_gains_edge_not_slot(use_native):
     d = ids("A", "B", "C")
     sim = {
         "A": [("B", 0.9), ("C", 0.9)],
         "B": [("C", 0.9), ("A", 0.9)],  # C already placed -> edge only
         "C": [], "<PAD>": [],
     }
-    node_id, graph, mask = sag.expand_graph(sim, d, 2, 2, 4)
+    node_id, graph, mask = expand(sim, d, 2, 2, 4, use_native=use_native)
     a = d["A"]
     nodes = [x for x in node_id[a].tolist() if x != 0]
     assert sorted(nodes) == sorted([d["A"], d["B"], d["C"]])
@@ -68,16 +74,16 @@ def test_bfs_revisited_node_gains_edge_not_slot():
     assert graph[a, 1, 2] and graph[a, 2, 1]
 
 
-def test_pad_row_empty():
+def test_pad_row_empty(use_native):
     d = ids("A")
     sim = {"A": [], "<PAD>": []}
-    node_id, graph, mask = sag.expand_graph(sim, d, 2, 2, 4)
+    node_id, graph, mask = expand(sim, d, 2, 2, 4, use_native=use_native)
     assert node_id[0].tolist() == [0, 0, 0, 0]
     assert not graph[0].any()
     assert mask[0].tolist() == [True, False, False, False]
 
 
-def test_dedup_and_fallbacks():
+def test_dedup_and_fallbacks(use_native):
     rows = [
         ("train_dev", "N1", "Shared Title", "content one"),
         ("train_dev", "N2", "Shared Title", "content two"),
@@ -94,7 +100,7 @@ def test_dedup_and_fallbacks():
     assert contents[gi4] == "only title"  # content fell back to title
 
 
-def test_neighbor_lists_exclude_self():
+def test_neighbor_lists_exclude_self(use_native):
     groups = {0: ["N1"], 1: ["N2"], 2: ["N3"]}
     vals = np.asarray([[0.99, 0.9, 0.8]], np.float32)
     idx = np.asarray([[0, 1, 2]])
@@ -106,7 +112,7 @@ def test_neighbor_lists_exclude_self():
     assert [n for n, _ in out["N1"]] == ["N2", "N3"]
 
 
-def test_hash_embedder_structure():
+def test_hash_embedder_structure(use_native):
     texts = ["alpha beta gamma", "alpha beta delta", "zzz qqq www"]
     e = sag.hash_embedder(texts)
     sim_close = float(e[0] @ e[1])
@@ -114,7 +120,7 @@ def test_hash_embedder_structure():
     assert sim_close > sim_far + 0.2
 
 
-def test_construct_sag_end_to_end():
+def test_construct_sag_end_to_end(use_native):
     rows = {
         "sports": [
             ("train_dev", "N1", "football match result", "a"),
