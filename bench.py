@@ -163,8 +163,24 @@ def main():
             weight=jnp.ones((B,), jnp.float32),
         )
 
+    # unique-title dedup, as the trainer runs it (models/model.py)
+    from digat_tpu.data.batching import dedup_batch
+
+    raw_batches = [make_train_batch(s) for s in range(4)]
+    node_np = np.asarray(tables.news_node_id)
+    ucount = max(
+        len(np.unique(np.concatenate([
+            node_np[np.asarray(b.sample_idx)].ravel(),
+            np.asarray(b.history_idx).ravel(),
+        ])))
+        for b in raw_batches
+    )
+    cap = int(np.ceil(ucount * 1.15 / 256.0) * 256)
+    log(f"dedup: ~{ucount} unique titles/batch of "
+        f"{B * (1 + K) * Gn + B * H} slots, capacity {cap}")
     tpool = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *[make_train_batch(s) for s in range(4)]
+        lambda *xs: jnp.asarray(np.stack(xs)),
+        *[dedup_batch(b, tables.news_node_id, cap) for b in raw_batches],
     )
 
     @functools.partial(jax.jit, static_argnums=3)

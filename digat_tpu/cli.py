@@ -76,9 +76,25 @@ def run_eval(cfg: Config, mode: str) -> None:
     params, _, epoch = ckpt_lib.load(path, model.param_template(), None)
     t0 = time.time()
     out = cfg.test_output_file or None
+    if cfg.dataset == "MIND-large" and mode == "test" and not out:
+        out = os.path.join(
+            cfg.run_root, "prediction", cfg.dataset, model.model_name,
+            "prediction.txt",
+        )
+        os.makedirs(os.path.dirname(out), exist_ok=True)
     auc, mrr, ndcg5, ndcg10 = compute_scores(
         model, params, corpus, mode, result_file=out
     )
+    if cfg.dataset == "MIND-large" and mode == "test":
+        # leaderboard submission artifact (reference main.py:47-51)
+        import zipfile
+
+        zip_path = os.path.join(os.path.dirname(out), "prediction.zip")
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+            z.write(out, "prediction.txt")
+        print(f"[test] wrote leaderboard submission {zip_path} "
+              f"({time.time() - t0:.1f}s)")
+        return
     print(f"[{mode}] epoch {epoch}: AUC={auc:.4f} MRR={mrr:.4f} "
           f"nDCG@5={ndcg5:.4f} nDCG@10={ndcg10:.4f} "
           f"({time.time() - t0:.1f}s)")

@@ -101,6 +101,9 @@ class Config:
     run_root: str = "runs"
     run_index: int = 0
     profile_dir: str = ""  # jax.profiler trace output (empty = off)
+    # Unique-title batch dedup capacity: -1 auto-size, 0 off, >0 fixed.
+    # Each unique news in a training batch is encoded once and gathered.
+    dedup_titles: int = -1
 
     def __post_init__(self) -> None:
         if self.dataset == "MIND-small":

@@ -21,7 +21,58 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-from digat_tpu.models.model import EvalBatch, TrainBatch
+from digat_tpu.models.model import DedupTrainBatch, EvalBatch, TrainBatch
+
+
+def dedup_batch(batch: TrainBatch, news_node_id, capacity: int) -> DedupTrainBatch:
+    """Convert a TrainBatch to its unique-title form (asserts capacity)."""
+    node_ids = np.asarray(news_node_id)[np.asarray(batch.sample_idx)]
+    hist = np.asarray(batch.history_idx)
+    flat = np.concatenate([node_ids.ravel(), hist.ravel()])
+    uniq, inv = np.unique(flat, return_inverse=True)
+    assert len(uniq) <= capacity, (len(uniq), capacity)
+    uniq_ids = np.zeros(capacity, np.int32)
+    uniq_ids[: len(uniq)] = uniq
+    split = node_ids.size
+    return DedupTrainBatch(
+        uniq_ids=uniq_ids,
+        cand_inv=inv[:split].reshape(node_ids.shape).astype(np.int32),
+        hist_inv=inv[split:].reshape(hist.shape).astype(np.int32),
+        cat_idx=np.asarray(batch.cat_idx),
+        sample_idx=np.asarray(batch.sample_idx),
+        weight=np.asarray(batch.weight),
+    )
+
+
+def estimate_dedup_capacity(
+    history_idx: np.ndarray,
+    behavior_row: np.ndarray,
+    pos: np.ndarray,
+    negatives: np.ndarray,
+    news_node_id: np.ndarray,
+    batch_size: int,
+    sample_batches: int = 32,
+    headroom: float = 1.15,
+    seed: int = 0,
+) -> int:
+    """Pick a static unique-title capacity: max unique count over sampled
+    batches, with headroom, rounded up to 256. Batches that still overflow
+    at runtime fall back to the non-dedup path (a second cached program)."""
+    rng = np.random.default_rng(seed)
+    num = len(pos)
+    worst = 0
+    for _ in range(sample_batches):
+        sel = rng.choice(num, size=min(batch_size, num), replace=False)
+        samples = np.concatenate([pos[sel, None], negatives[sel]], axis=1)
+        flat = np.concatenate([
+            news_node_id[samples].ravel(),
+            history_idx[behavior_row[sel]].ravel(),
+        ])
+        worst = max(worst, len(np.unique(flat)))
+    cap = int(np.ceil(worst * headroom / 256.0) * 256)
+    worst_case = batch_size * (samples.shape[1] * news_node_id.shape[1]
+                               + history_idx.shape[1])
+    return min(cap, worst_case)
 
 
 def train_batches(
@@ -36,7 +87,12 @@ def train_batches(
     shard_index: int = 0,
     shard_count: int = 1,
     drop_remainder: bool = False,
+    news_node_id: Optional[np.ndarray] = None,
+    dedup_titles: int = 0,
 ) -> Iterator[TrainBatch]:
+    """When `dedup_titles` > 0 (and `news_node_id` is given) yields
+    DedupTrainBatch with per-batch unique-title indices padded to that
+    static capacity; raises DedupOverflow if a batch exceeds it."""
     num = len(pos)
     order = np.random.default_rng(epoch_seed).permutation(num)
     order = order[shard_index::shard_count]
@@ -57,12 +113,39 @@ def train_batches(
             )
             weight[b:] = 0.0
         rows = behavior_row[sel]
-        yield TrainBatch(
-            history_idx=history_idx[rows],
-            cat_idx=cat_idx[rows].astype(np.int32),
-            sample_idx=samples.astype(np.int32),
-            weight=weight,
-        )
+        hist = history_idx[rows]
+        samples = samples.astype(np.int32)
+        if dedup_titles > 0 and news_node_id is not None:
+            node_ids = news_node_id[samples]  # [B, 1+K, Gn]
+            flat = np.concatenate([node_ids.ravel(), hist.ravel()])
+            uniq, inv = np.unique(flat, return_inverse=True)
+            if len(uniq) > dedup_titles:
+                # rare overflow: fall back to the plain path for this batch
+                yield TrainBatch(
+                    history_idx=hist,
+                    cat_idx=cat_idx[rows].astype(np.int32),
+                    sample_idx=samples,
+                    weight=weight,
+                )
+                continue
+            uniq_ids = np.zeros(dedup_titles, np.int32)
+            uniq_ids[: len(uniq)] = uniq
+            split = node_ids.size
+            yield DedupTrainBatch(
+                uniq_ids=uniq_ids,
+                cand_inv=inv[:split].reshape(node_ids.shape).astype(np.int32),
+                hist_inv=inv[split:].reshape(hist.shape).astype(np.int32),
+                cat_idx=cat_idx[rows].astype(np.int32),
+                sample_idx=samples,
+                weight=weight,
+            )
+        else:
+            yield TrainBatch(
+                history_idx=hist,
+                cat_idx=cat_idx[rows].astype(np.int32),
+                sample_idx=samples,
+                weight=weight,
+            )
 
 
 def eval_batches(

@@ -413,3 +413,43 @@ class Corpus:
 
     def num_train_samples(self) -> int:
         return len(self.train_pos)
+
+
+def _smoke(argv=None) -> None:
+    """Data-pipeline smoke test: corpus stats + one batch of shapes per
+    loader (equivalent of the reference's MIND_dataset __main__ block,
+    MIND_dataset.py:123-188)."""
+    from digat_tpu.cli import prepare
+    from digat_tpu.config import Config
+    from digat_tpu.data import batching, sampling
+
+    cfg = Config.from_args(argv)
+    corpus = prepare(cfg)
+    print(f"news_num: {corpus.news_num}")
+    print(f"vocabulary: {cfg.vocabulary_size}  categories: {cfg.category_num}"
+          f"  users: {cfg.user_num}")
+    print(f"train samples: {corpus.num_train_samples()}  "
+          f"dev items: {len(corpus.dev_cand)}  test items: {len(corpus.test_cand)}")
+    negatives = sampling.sample_negatives(
+        corpus.train_neg_flat, corpus.train_neg_offsets,
+        cfg.negative_sample_num, np.random.default_rng(0),
+    )
+    split = corpus.splits["train"]
+    batch = next(iter(batching.train_batches(
+        split.history_idx, split.cat_idx, corpus.train_behavior_row,
+        corpus.train_pos, negatives, cfg.batch_size, epoch_seed=0,
+        news_node_id=corpus.news_node_id,
+        dedup_titles=0 if cfg.dedup_titles == 0 else 2048,
+    )))
+    for name, arr in batch._asdict().items():
+        print(f"train batch {name}: {arr.shape} {arr.dtype}")
+    ebatch, valid = next(iter(batching.eval_batches(
+        corpus.splits["dev"].history_idx, corpus.splits["dev"].cat_idx,
+        corpus.dev_imp_index, corpus.dev_cand, cfg.batch_size,
+    )))
+    for name, arr in ebatch._asdict().items():
+        print(f"dev batch {name}: {arr.shape} {arr.dtype} (valid={valid})")
+
+
+if __name__ == "__main__":
+    _smoke()

@@ -109,6 +109,7 @@ class CachedScorer:
     ) -> np.ndarray:
         """Stage 2: scores for every impression item (this shard's slice
         filled; other positions zero)."""
+        params = self.model.cast_params(params)  # bf16 eval when configured
         news_reps, c_n0 = self.cache_news(params, tables)
         scores = np.zeros(len(cand), np.float32)
         item_ids = np.arange(len(cand))[shard_index::shard_count]
@@ -238,4 +239,8 @@ def compute_scores(
     by_imp_labels = M.group_by_impression(imp_index, labels)
     if result_file:
         M.write_rank_file(result_file, by_imp_scores)
+    if np.asarray(labels).sum() == 0:
+        # unlabeled split (MIND-large test): rank file is the deliverable,
+        # metrics come from the leaderboard (reference util.py:81-82)
+        return (float("nan"),) * 4
     return M.score_impressions(by_imp_labels, by_imp_scores)

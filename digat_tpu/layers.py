@@ -109,10 +109,14 @@ def dropout(key, x, rate: float, train: bool):
 
 
 def masked_softmax(scores, mask, axis: int = -1):
-    """softmax(where(mask, scores, -1e9)). `mask` is broadcastable, bool/0-1."""
+    """softmax(where(mask, scores, -1e9)). `mask` is broadcastable, bool/0-1.
+    The softmax itself always runs in fp32 (bf16 exp/normalize loses too
+    much precision); the result returns in the input dtype so downstream
+    matmuls stay on the fast path."""
+    dtype = scores.dtype
     if mask is not None:
         scores = jnp.where(mask.astype(bool), scores, MASK_FILL)
-    return jax.nn.softmax(scores, axis=axis)
+    return jax.nn.softmax(scores.astype(jnp.float32), axis=axis).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -177,20 +181,38 @@ def mha_init(key, heads: int, d_model: int, d_k: int, d_v: int):
     }
 
 
-def mha(params, x, heads: int, compute_dtype=None, key_mask=None):
+def mha(params, x, heads: int, compute_dtype=None, key_mask=None,
+        use_pallas: bool = False):
     """Self-attention. x: [..., L, d_model] -> [..., L, heads*d_v].
 
     `key_mask` [..., L] masks keys with the -1e9 fill (the Appendix-B
     masked variant, Appendix-B/layers.py:85-96); None reproduces the main
-    reference's unmasked softmax where pads attend (layers.py:75-88)."""
+    reference's unmasked softmax where pads attend (layers.py:75-88).
+
+    `use_pallas` routes the attention core through the fused VMEM-resident
+    kernel (ops/pallas/msa_attention.py) on TPU."""
     h = heads
     d_k = params["W_K"]["w"].shape[-1] // h
     d_v = params["W_V"]["w"].shape[-1] // h
-    q = linear(params["W_Q"], x).reshape(*x.shape[:-1], h, d_k)
-    k = linear(params["W_K"], x).reshape(*x.shape[:-1], h, d_k)
-    v = linear(params["W_V"], x).reshape(*x.shape[:-1], h, d_v)
+    q = linear(params["W_Q"], x)
+    k = linear(params["W_K"], x)
+    v = linear(params["W_V"], x)
     if compute_dtype is not None:
         q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
+    if use_pallas and d_k == d_v:
+        from digat_tpu.ops.pallas.msa_attention import msa_attention
+
+        lead = x.shape[:-2]
+        L2, D2 = x.shape[-2], h * d_v
+        out = msa_attention(
+            q.reshape(-1, L2, D2), k.reshape(-1, L2, D2),
+            v.reshape(-1, L2, D2), h,
+            mask=None if key_mask is None else key_mask.reshape(-1, L2),
+        )
+        return out.reshape(*lead, L2, D2).astype(jnp.float32)
+    q = q.reshape(*x.shape[:-1], h, d_k)
+    k = k.reshape(*x.shape[:-1], h, d_k)
+    v = v.reshape(*x.shape[:-1], h, d_v)
     a = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(float(d_k))
     if key_mask is not None:
         a = jnp.where(

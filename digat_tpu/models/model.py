@@ -44,6 +44,22 @@ class TrainBatch(NamedTuple):
     weight: jnp.ndarray  # [B] float32 (0 for padding rows of last batch)
 
 
+class DedupTrainBatch(NamedTuple):
+    """Training batch with host-side title deduplication: every unique news
+    in the batch (candidate-graph nodes + histories) is listed once in
+    `uniq_ids`; the encoder runs once per unique title and inverse-index
+    gathers fan the representations out. Mathematically identical to
+    TrainBatch (the gather VJP scatter-adds the gradients), but the
+    HBM-bound encoder work drops by the duplication factor."""
+
+    uniq_ids: jnp.ndarray  # [U] int32 news ids (0-padded)
+    cand_inv: jnp.ndarray  # [B, 1+K, Gn] int32 indices into uniq
+    hist_inv: jnp.ndarray  # [B, H] int32 indices into uniq
+    cat_idx: jnp.ndarray  # [B, H] int32
+    sample_idx: jnp.ndarray  # [B, 1+K] int32 (graphs/masks gather)
+    weight: jnp.ndarray  # [B] float32
+
+
 class EvalBatch(NamedTuple):
     """Stage-2 eval batch: one impression item per row."""
 
@@ -72,6 +88,7 @@ class Model:
             msa_heads=config.MSA_head_num,
             attention_dim=config.attention_dim,
             compute_dtype=config.compute_dtype,
+            use_pallas=config.use_pallas,
         )
         self.graph_st = G.GraphStatic(
             variant=config.graph_encoder,
@@ -113,7 +130,6 @@ class Model:
         news_graph_mask,  # [B, N, Gn]
     ):
         """Dense-tensor forward -> logits [B, N] (reference model.py:54-77)."""
-        B, Nn, Gn, _ = news_title_text.shape
         r_news, r_user, r_graph = jax.random.split(rng, 3)
 
         cand = N.encode(
@@ -124,7 +140,26 @@ class Model:
             params["news_encoder"], self.news_st, r_user, train,
             user_title_text, user_title_mask,
         )  # [B, H, D]
+        return self.forward_encoded(
+            params, r_graph, train, cand, hist, user_graph,
+            user_category_mask, user_category_indices, news_graph,
+            news_graph_mask,
+        )
 
+    def forward_encoded(
+        self,
+        params,
+        r_graph,
+        train: bool,
+        cand,  # [B, N, Gn, D] encoded candidate-graph nodes
+        hist,  # [B, H, D] encoded history
+        user_graph,
+        user_category_mask,
+        user_category_indices,
+        news_graph,
+        news_graph_mask,
+    ):
+        B, Nn = cand.shape[:2]
         flat = lambda x: x.reshape((B * Nn,) + x.shape[2:])
         rep = lambda x: jnp.broadcast_to(
             x[:, None], (B, Nn) + x.shape[1:]
@@ -137,31 +172,49 @@ class Model:
             rep(user_category_indices),
         )
         logits = jnp.sum(
-            news_rep.reshape(B, Nn, -1) * user_rep.reshape(B, Nn, -1), axis=-1
+            news_rep.reshape(B, Nn, -1).astype(jnp.float32)
+            * user_rep.reshape(B, Nn, -1).astype(jnp.float32),
+            axis=-1,
         )
         return logits
 
     # ------------------------------------------------------------------
-    def forward_indexed(self, params, tables: CorpusTables, batch: TrainBatch,
+    def forward_indexed(self, params, tables: CorpusTables, batch,
                         rng, train: bool):
         """Index-batch forward: gathers titles/graphs on device, rebuilds the
-        user graph from compact category indices, then runs `forward`."""
+        user graph from compact category indices, then runs `forward`.
+        Accepts TrainBatch or DedupTrainBatch (unique-title encoding)."""
         cfg = self.config
-        node_ids = tables.news_node_id[batch.sample_idx]  # [B, N, Gn]
-        news_title_text = tables.news_title_text[node_ids]  # [B, N, Gn, L]
-        news_title_mask = tables.news_title_mask[node_ids]
         news_graph = tables.news_graph[batch.sample_idx]  # [B, N, Gn, Gn]
         news_graph_mask = tables.news_graph_mask[batch.sample_idx]
-        user_title_text = tables.news_title_text[batch.history_idx]  # [B, H, L]
-        user_title_mask = tables.news_title_mask[batch.history_idx]
         user_graph, user_category_mask = build_user_graph(
             batch.cat_idx, cfg.max_history_num, cfg.category_num
         )
+        if isinstance(batch, DedupTrainBatch):
+            # NOTE: dropout masks inside the encoder are shared across
+            # occurrences of the same title (the reference re-draws per
+            # occurrence); eval math is identical, training noise marginally
+            # more correlated.
+            r_enc, r_graph = jax.random.split(rng)
+            uniq_reps = N.encode(
+                params["news_encoder"], self.news_st, r_enc, train,
+                tables.news_title_text[batch.uniq_ids],
+                tables.news_title_mask[batch.uniq_ids],
+            )  # [U, D]
+            cand = uniq_reps[batch.cand_inv]  # [B, N, Gn, D]
+            hist = uniq_reps[batch.hist_inv]  # [B, H, D]
+            return self.forward_encoded(
+                params, r_graph, train, cand, hist, user_graph,
+                user_category_mask, batch.cat_idx, news_graph, news_graph_mask,
+            )
+        node_ids = tables.news_node_id[batch.sample_idx]  # [B, N, Gn]
         return self.forward(
             params, rng, train,
-            user_title_text, user_title_mask, user_graph, user_category_mask,
-            batch.cat_idx, news_title_text, news_title_mask, news_graph,
-            news_graph_mask,
+            tables.news_title_text[batch.history_idx],
+            tables.news_title_mask[batch.history_idx],
+            user_graph, user_category_mask, batch.cat_idx,
+            tables.news_title_text[node_ids], tables.news_title_mask[node_ids],
+            news_graph, news_graph_mask,
         )
 
     # ------------------------------------------------------------------
@@ -185,7 +238,9 @@ class Model:
             user_news_embedding, user_graph, user_category_mask,
             user_category_indices, c_n0=c_n0,
         )
-        return jnp.sum(news_rep * user_rep, axis=-1)
+        return jnp.sum(
+            news_rep.astype(jnp.float32) * user_rep.astype(jnp.float32), axis=-1
+        )
 
     # ------------------------------------------------------------------
     def encode_news(self, params, title_text, title_mask):
@@ -201,10 +256,25 @@ class Model:
         )
 
     # ------------------------------------------------------------------
+    def cast_params(self, params):
+        """Mixed precision: compute-copy of the params in bfloat16 (master
+        weights stay fp32 in the optimizer; the cast is differentiable so
+        gradients flow back in fp32)."""
+        if self.config.compute_dtype != "bfloat16":
+            return params
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32
+            else x,
+            params,
+        )
+
     def loss(self, params, tables: CorpusTables, batch: TrainBatch, rng):
         """Listwise sampled-softmax NLL (reference trainer.py:100), with
         per-row weights so padded tail batches contribute nothing."""
-        logits = self.forward_indexed(params, tables, batch, rng, train=True)
-        nll = -jax.nn.log_softmax(logits, axis=1)[:, 0]
+        logits = self.forward_indexed(
+            self.cast_params(params), tables, batch, rng, train=True
+        )
+        nll = -jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)[:, 0]
         w = batch.weight
         return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)

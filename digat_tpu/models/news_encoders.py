@@ -34,6 +34,7 @@ class NewsStatic(NamedTuple):
     msa_heads: int = 16
     attention_dim: int = 256
     compute_dtype: str = "float32"
+    use_pallas: bool = False
 
 
 def init(key, st: NewsStatic, word_embedding=None):
@@ -69,7 +70,10 @@ def encode(params, st: NewsStatic, rng, train: bool, title_text, title_mask):
         h = L.dropout(r_enc, h, st.dropout_rate, train)
     else:
         cd = jnp.bfloat16 if st.compute_dtype == "bfloat16" else None
-        h = jax.nn.relu(L.mha(params["msa"], w2, st.msa_heads, compute_dtype=cd))
+        h = jax.nn.relu(
+            L.mha(params["msa"], w2, st.msa_heads, compute_dtype=cd,
+                  use_pallas=st.use_pallas)
+        )
     mask2 = title_mask.reshape((-1, st.max_title_length))
     pooled = L.attn_pool(params["pool"], h, mask=mask2)
     return pooled.reshape(*lead, st.dim)

@@ -41,6 +41,7 @@ class NRMSStatic(NamedTuple):
     augmented_news_num: int
     attention_dim: int
     dropout_rate: float
+    use_pallas: bool = False
 
 
 class NRMSModel:
@@ -62,6 +63,7 @@ class NRMSModel:
             augmented_news_num=config.augmented_news_num,
             attention_dim=config.nrms_attention_dim,
             dropout_rate=config.dropout_rate,
+            use_pallas=config.use_pallas,
         )
         self.model_name = "NRMS-SA" if self.st.sa else "NRMS"
 
@@ -90,6 +92,15 @@ class NRMSModel:
     def param_template(self):
         return jax.eval_shape(lambda k: self.init(k), jax.random.PRNGKey(0))
 
+    def cast_params(self, params):
+        """Mixed precision compute-copy (see Model.cast_params)."""
+        if self.config.compute_dtype != "bfloat16":
+            return params
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params,
+        )
+
     # ------------------------------------------------------------------
     def _encode_titles(self, params, st, rng, train, title_text, title_mask):
         """Shared NRMS title tower -> [..., dim]."""
@@ -99,7 +110,8 @@ class NRMSModel:
         lead = w.shape[:-2]
         w2 = w.reshape((-1, st.max_title_length, st.word_dim))
         m2 = title_mask.reshape((-1, st.max_title_length))
-        c = L.mha(params["news_msa"], w2, st.heads, key_mask=m2)
+        c = L.mha(params["news_msa"], w2, st.heads, key_mask=m2,
+                  use_pallas=st.use_pallas)
         c = L.dropout(r2, c, st.dropout_rate, train)
         return L.attn_pool(params["news_pool"], c, mask=m2).reshape(*lead, st.dim)
 
@@ -130,7 +142,8 @@ class NRMSModel:
         """[B, H, D] cached/fresh history reps -> [B, D]. Masked MHA, then
         the reference's unmasked pooling."""
         h = L.mha(
-            params["user_msa"], history_reps, self.st.heads, key_mask=history_mask
+            params["user_msa"], history_reps, self.st.heads,
+            key_mask=history_mask, use_pallas=self.st.use_pallas,
         )
         return L.attn_pool(params["user_pool"], h, mask=None)
 
@@ -157,11 +170,17 @@ class NRMSModel:
         )
         history_mask = batch.history_idx != 0  # pad news id 0
         user_rep = self.encode_user(params, hist_rep, history_mask)
-        return jnp.einsum("bnd,bd->bn", news_rep, user_rep)
+        return jnp.einsum(
+            "bnd,bd->bn",
+            news_rep.astype(jnp.float32),
+            user_rep.astype(jnp.float32),
+        )
 
     def loss(self, params, tables, batch, rng):
-        logits = self.forward_indexed(params, tables, batch, rng, train=True)
-        nll = -jax.nn.log_softmax(logits, axis=1)[:, 0]
+        logits = self.forward_indexed(
+            self.cast_params(params), tables, batch, rng, train=True
+        )
+        nll = -jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)[:, 0]
         w = batch.weight
         return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 

@@ -36,9 +36,11 @@ def _scores_kernel(k1_ref, k2_ref, k3_ref, a_ref, out_ref):
     def body(i, _):
         row = k2_ref[:, i, :]  # [TB, D]
         t = jax.nn.relu(base + row[:, None, :])  # [TB, G, D]
-        # VPU multiply-reduce in fp32: a matvec gains nothing from the MXU
-        # and the MXU path would truncate inputs to bf16.
-        out_ref[:, i, :] = jnp.sum(t * a[None, None, :], axis=-1)
+        # VPU multiply-reduce accumulating in fp32: a matvec gains nothing
+        # from the MXU, and the reduce over D=400 needs fp32 accumulation
+        # even for bf16 inputs.
+        prod = (t * a[None, None, :]).astype(jnp.float32)
+        out_ref[:, i, :] = jnp.sum(prod, axis=-1).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, G, body, 0)
@@ -63,7 +65,7 @@ def _scores_fwd_pallas(k1, k2, k3, a_vec, batch_tile: int):
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TB, G, G), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, G, G), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, G, G), k1.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * G * G * D,
             bytes_accessed=(2 * Bp * G * D + Bp * D + D + Bp * G * G) * 4,

@@ -1,0 +1,216 @@
+"""Fused multi-head self-attention Pallas kernel for title encoding.
+
+The profiler shows the train step is HBM-bound on the MSA attention
+einsums and their transposes/backwards (the [N*H, L, L] score tensors and
+[N, L, H, dk] relayouts round-trip HBM repeatedly at ~140 GB/s). With
+L=32 titles and dk=25-dim heads, a whole tile of titles fits in VMEM, so
+this kernel computes scores -> softmax -> context per head entirely
+on-chip: q/k/v stream in once, the context streams out once, and nothing
+else touches HBM. Measured ~3.7x over the XLA lowering at the production
+training shape [11520, 32, 400].
+
+The backward pass is a second kernel that recomputes the softmax on-chip
+(flash-attention style, trivial at L=32) and emits dq/dk/dv in one pass,
+wired up with jax.custom_vjp. Optional key masking covers the NRMS-family
+masked variant (Appendix-B/layers.py:85-96).
+
+Heads are processed with a static unrolled loop over 25-lane slices of the
+packed [TN, L, H*dk] block — Mosaic relayouts the slices on-chip, which is
+far cheaper than the HBM transposes XLA materializes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from digat_tpu.layers import MASK_FILL
+
+def _auto_tile(L: int, D: int, itemsize: int, nbuf: int) -> int:
+    """Largest power-of-two batch tile whose double-buffered working set
+    (nbuf tensors of [tile, L, D]) fits comfortably in the 16 MB scoped
+    VMEM budget."""
+    # conservative: HIGHEST-precision matmul passes and per-head relayout
+    # copies inflate the live working set well beyond the io blocks; the
+    # floor of 8 satisfies the (8, 128) block divisibility of the 2D mask
+    budget = 5 * 1024 * 1024
+    t = budget // (nbuf * 2 * L * D * itemsize)
+    t = max(int(t), 8)
+    return 1 << (t.bit_length() - 1)
+
+
+def _fwd_kernel(H, dk, scale, masked, precision, *refs):
+    if masked:
+        q_ref, k_ref, v_ref, m_ref, o_ref = refs
+        neg = jnp.where(m_ref[:, :], 0.0, MASK_FILL)[:, None, :]  # [TN,1,L]
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        neg = None
+    for h in range(H):
+        sl = slice(h * dk, (h + 1) * dk)
+        s = jnp.einsum(
+            "bid,bjd->bij", q_ref[:, :, sl], k_ref[:, :, sl],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * scale
+        if neg is not None:
+            s = s + neg
+        a = jax.nn.softmax(s, axis=-1)
+        o_ref[:, :, sl] = jnp.einsum(
+            "bij,bjd->bid", a, v_ref[:, :, sl].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(H, dk, scale, masked, *refs):
+    if masked:
+        q_ref, k_ref, v_ref, m_ref, do_ref, dq_ref, dk_ref, dv_ref = refs
+        neg = jnp.where(m_ref[:, :], 0.0, MASK_FILL)[:, None, :]
+    else:
+        q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref = refs
+        neg = None
+    for h in range(H):
+        sl = slice(h * dk, (h + 1) * dk)
+        q = q_ref[:, :, sl].astype(jnp.float32)
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        v = v_ref[:, :, sl].astype(jnp.float32)
+        do = do_ref[:, :, sl].astype(jnp.float32)
+        s = jnp.einsum("bid,bjd->bij", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        if neg is not None:
+            s = s + neg
+        a = jax.nn.softmax(s, axis=-1)
+        dv = jnp.einsum("bij,bid->bjd", a, do,
+                        preferred_element_type=jnp.float32)
+        da = jnp.einsum("bid,bjd->bij", do, v,
+                        preferred_element_type=jnp.float32)
+        ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+        dq_ref[:, :, sl] = (scale * jnp.einsum(
+            "bij,bjd->bid", ds, k, preferred_element_type=jnp.float32
+        )).astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = (scale * jnp.einsum(
+            "bij,bid->bjd", ds, q, preferred_element_type=jnp.float32
+        )).astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _pad_batch(arrs, tile):
+    n = arrs[0].shape[0]
+    pad = (-n) % tile
+    if pad:
+        arrs = [jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)) for a in arrs]
+    return arrs, n, n + pad
+
+
+def _call_fwd(q, k, v, mask, heads, tile):
+    N, L, D = q.shape
+    if tile <= 0:
+        tile = _auto_tile(L, D, q.dtype.itemsize, 4)
+    dk = D // heads
+    scale = 1.0 / math.sqrt(float(dk))
+    masked = mask is not None
+    ins = [q, k, v] + ([mask] if masked else [])
+    ins, n, npad = _pad_batch(ins, tile)
+    qkv_spec = pl.BlockSpec((tile, L, D), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    specs = [qkv_spec] * 3
+    if masked:
+        specs.append(pl.BlockSpec((tile, L), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+    # HIGHEST-precision matmul passes need scratch that only fits for
+    # title-length sequences; longer sequences (user-history MSA) run at
+    # default (bf16-input) precision, standard for TPU attention.
+    precision = (
+        jax.lax.Precision.HIGHEST if L <= 32 else jax.lax.Precision.DEFAULT
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, heads, dk, scale, masked, precision),
+        grid=(npad // tile,),
+        in_specs=specs,
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((npad, L, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * npad * heads * L * L * dk,
+            bytes_accessed=4 * npad * L * D * q.dtype.itemsize,
+            transcendentals=npad * heads * L * L,
+        ),
+    )(*ins)
+    return out[:n]
+
+
+def _call_bwd(q, k, v, mask, do, heads, tile):
+    N, L, D = q.shape
+    if tile <= 0:
+        tile = _auto_tile(L, D, q.dtype.itemsize, 7)
+    dk = D // heads
+    scale = 1.0 / math.sqrt(float(dk))
+    masked = mask is not None
+    ins = [q, k, v] + ([mask] if masked else []) + [do]
+    ins, n, npad = _pad_batch(ins, tile)
+    qkv_spec = pl.BlockSpec((tile, L, D), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    specs = [qkv_spec] * 3
+    if masked:
+        specs.append(pl.BlockSpec((tile, L), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+    specs.append(qkv_spec)
+    shape = jax.ShapeDtypeStruct((npad, L, D), q.dtype)
+    dq, dk_, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads, dk, scale, masked),
+        grid=(npad // tile,),
+        in_specs=specs,
+        out_specs=(qkv_spec,) * 3,
+        out_shape=(shape,) * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=11 * npad * heads * L * L * dk,
+            bytes_accessed=7 * npad * L * D * q.dtype.itemsize,
+            transcendentals=npad * heads * L * L,
+        ),
+    )(*ins)
+    return dq[:n], dk_[:n], dv[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention(q, k, v, mask, heads, tile):
+    return _call_fwd(q, k, v, mask, heads, tile)
+
+
+def _attention_fwd(q, k, v, mask, heads, tile):
+    return _call_fwd(q, k, v, mask, heads, tile), (q, k, v, mask)
+
+
+def _attention_bwd(heads, tile, res, g):
+    q, k, v, mask = res
+    dq, dk, dv = _call_bwd(q, k, v, mask, g, heads, tile)
+    return dq, dk, dv, None
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+def _attention_xla(q, k, v, mask, heads):
+    N, L, D = q.shape
+    dk = D // heads
+    qh = q.reshape(N, L, heads, dk)
+    kh = k.reshape(N, L, heads, dk)
+    vh = v.reshape(N, L, heads, dk)
+    s = jnp.einsum("nihd,njhd->nhij", qh, kh) / math.sqrt(float(dk))
+    if mask is not None:
+        s = jnp.where(mask[:, None, None, :].astype(bool), s, MASK_FILL)
+    a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(vh.dtype)
+    return jnp.einsum("nhij,njhd->nihd", a, vh).reshape(N, L, D)
+
+
+def msa_attention(q, k, v, heads: int, mask=None, tile: int = 0):
+    """softmax(QK^T/sqrt(dk))V per head over packed [N, L, heads*dk]
+    projections; optional [N, L] key mask. Pallas on TPU, XLA elsewhere."""
+    if jax.default_backend() != "tpu":
+        return _attention_xla(q, k, v, mask, heads)
+    return _attention(q, k, v, mask, heads, tile)

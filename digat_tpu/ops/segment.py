@@ -38,7 +38,9 @@ def segment_softmax_sum(scores, values, segment_ids, num_segments: int):
       segment; segsum [..., S, D] = sum_h alpha[h] * values[h] over positions
       of each segment (zeros for empty segments).
     """
-    onehot = jax.nn.one_hot(segment_ids, num_segments, dtype=scores.dtype)  # [...,H,S]
+    out_dtype = values.dtype
+    scores = scores.astype(jnp.float32)  # per-segment softmax in fp32
+    onehot = jax.nn.one_hot(segment_ids, num_segments, dtype=jnp.float32)
     # max per segment (for numerical stability), gathered back per position
     masked = jnp.where(onehot > 0, scores[..., None], NEG_INF)  # [...,H,S]
     seg_max = jnp.max(masked, axis=-2)  # [...,S]
@@ -46,7 +48,8 @@ def segment_softmax_sum(scores, values, segment_ids, num_segments: int):
     ex = jnp.exp(scores - pos_max)  # [...,H]
     seg_den = jnp.einsum("...h,...hs->...s", ex, onehot)  # [...,S]
     pos_den = jnp.einsum("...hs,...s->...h", onehot, seg_den)
-    alpha = ex / pos_den  # every position belongs to a segment -> den > 0
+    alpha = (ex / pos_den).astype(out_dtype)  # positions always have a segment
+    onehot = onehot.astype(out_dtype)
     weighted = onehot * alpha[..., None]  # [...,H,S]
     segsum = jnp.einsum("...hs,...hd->...sd", weighted, values)  # [...,S,D]
     return alpha, segsum

@@ -137,6 +137,23 @@ class Trainer:
         shard_index = self.process_index
         split = corpus.splits["train"]
 
+        # unique-title dedup (digat family only; see DedupTrainBatch)
+        dedup = 0
+        if getattr(model, "family", "digat") == "digat" and cfg.dedup_titles != 0:
+            if cfg.dedup_titles > 0:
+                dedup = cfg.dedup_titles
+            else:  # auto-size from a sample of batches
+                probe_negatives = sampling.sample_negatives(
+                    corpus.train_neg_flat, corpus.train_neg_offsets,
+                    cfg.negative_sample_num, np.random.default_rng(cfg.seed),
+                )
+                dedup = batching.estimate_dedup_capacity(
+                    split.history_idx, corpus.train_behavior_row,
+                    corpus.train_pos, probe_negatives, corpus.news_node_id,
+                    cfg.batch_size, seed=cfg.seed,
+                )
+                self._log(f"[dedup] unique-title capacity = {dedup}")
+
         for epoch in range(1, cfg.epoch + 1):
             t0 = time.time()
             negatives = sampling.sample_negatives(
@@ -150,6 +167,8 @@ class Trainer:
                 corpus.train_pos, negatives, cfg.batch_size,
                 epoch_seed=cfg.seed * 7_000_003 + epoch,
                 shard_index=shard_index, shard_count=shard_count,
+                news_node_id=corpus.news_node_id if dedup else None,
+                dedup_titles=dedup,
             )
             put = lambda b: mesh_lib.shard_batch_arrays(mesh, b)
             losses = []
