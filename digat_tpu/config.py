@@ -104,6 +104,7 @@ class Config:
     # Unique-title batch dedup capacity: -1 auto-size, 0 off, >0 fixed.
     # Each unique news in a training batch is encoded once and gathered.
     dedup_titles: int = -1
+    resume: str = ""  # checkpoint path to resume training from
 
     def __post_init__(self) -> None:
         if self.dataset == "MIND-small":

@@ -289,6 +289,31 @@ def expand_graph(
     return node_id, graph, mask
 
 
+def visualize_graph(
+    path: str,
+    news_index: int,
+    node_id: np.ndarray,
+    graph: np.ndarray,
+    titles: Dict[int, str],
+) -> None:
+    """Human-readable dump of one news graph: edge list with titles plus the
+    adjacency matrix (the reference's debugging helper,
+    construct_SAG.py:488-512)."""
+    n = node_id.shape[1]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("Node1\tNode2\tTitle1\tTitle2\n")
+        for i in range(n):
+            for j in range(n):
+                if graph[news_index, i, j]:
+                    t1 = titles.get(int(node_id[news_index, i]), "")
+                    t2 = titles.get(int(node_id[news_index, j]), "")
+                    f.write(f"{i}\t{j}\t{t1}\t{t2}\n")
+        f.write("\nnews graph\n")
+        for i in range(n):
+            f.write("\t".join(str(int(graph[news_index, i, j])) for j in range(n)))
+            f.write("\n")
+
+
 # ---------------------------------------------------------------------------
 # End-to-end driver
 # ---------------------------------------------------------------------------

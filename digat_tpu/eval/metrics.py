@@ -134,3 +134,30 @@ def scoring_from_files(truth_path: str, rank_path: str):
 def avg_metric(auc: float, mrr: float, ndcg5: float, ndcg10: float) -> float:
     """Composite dev criterion (util.py:100-106)."""
     return (auc + mrr + (ndcg5 + ndcg10) / 2.0) / 3.0
+
+
+def main(argv=None) -> None:
+    """Official-scorer CLI (evaluate.py:92-115 convention):
+    `python -m digat_tpu.eval.metrics <input_dir> <output_dir>` where
+    input_dir holds res/prediction.txt and ref/truth.txt; writes
+    scores.txt into output_dir."""
+    import os
+    import sys
+
+    args = argv if argv is not None else sys.argv[1:]
+    input_dir, output_dir = args[0], args[1]
+    truth = os.path.join(input_dir, "ref", "truth.txt")
+    pred = os.path.join(input_dir, "res", "prediction.txt")
+    os.makedirs(output_dir, exist_ok=True)
+    auc, mrr, ndcg5, ndcg10 = scoring_from_files(truth, pred)
+    out = os.path.join(output_dir, "scores.txt")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write(
+            "AUC:%.4f\nMRR:%.4f\nnDCG@5:%.4f\nnDCG@10:%.4f"
+            % (auc, mrr, ndcg5, ndcg10)
+        )
+    print(open(out).read())
+
+
+if __name__ == "__main__":
+    main()

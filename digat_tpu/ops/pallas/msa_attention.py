@@ -32,14 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from digat_tpu.layers import MASK_FILL
 
-def _auto_tile(L: int, D: int, itemsize: int, nbuf: int) -> int:
+def _auto_tile(L: int, D: int, itemsize: int, nbuf: int,
+               budget: int = 5 * 1024 * 1024) -> int:
     """Largest power-of-two batch tile whose double-buffered working set
-    (nbuf tensors of [tile, L, D]) fits comfortably in the 16 MB scoped
-    VMEM budget."""
-    # conservative: HIGHEST-precision matmul passes and per-head relayout
-    # copies inflate the live working set well beyond the io blocks; the
-    # floor of 8 satisfies the (8, 128) block divisibility of the 2D mask
-    budget = 5 * 1024 * 1024
+    (nbuf tensors of [tile, L, D]) fits in `budget` bytes of the 16 MB
+    scoped VMEM. The forward budget is conservative (HIGHEST-precision
+    matmul passes and per-head relayout copies inflate the live set); the
+    backward runs default precision and affords more. The floor of 8
+    satisfies the (8, 128) block divisibility of the 2D mask."""
     t = budget // (nbuf * 2 * L * D * itemsize)
     t = max(int(t), 8)
     return 1 << (t.bit_length() - 1)
@@ -148,7 +148,7 @@ def _call_fwd(q, k, v, mask, heads, tile):
 def _call_bwd(q, k, v, mask, do, heads, tile):
     N, L, D = q.shape
     if tile <= 0:
-        tile = _auto_tile(L, D, q.dtype.itemsize, 7)
+        tile = _auto_tile(L, D, q.dtype.itemsize, 7, budget=9 * 1024 * 1024)
     dk = D // heads
     scale = 1.0 / math.sqrt(float(dk))
     masked = mask is not None

@@ -116,6 +116,13 @@ class Trainer:
             )
         self.tx = make_optimizer(cfg.weight_decay, cfg.gradient_clip_norm, params)
         opt_state = self.tx.init(params)
+        start_epoch = 1
+        if cfg.resume:
+            params, opt_state, done_epoch = ckpt_lib.load(
+                cfg.resume, params, opt_state
+            )
+            start_epoch = done_epoch + 1
+            self._log(f"[resume] {cfg.resume} -> continuing at epoch {start_epoch}")
 
         # place state on the mesh (replicated / embedding-row-sharded)
         p_sh = mesh_lib.param_shardings(mesh, params, cfg.mesh_model > 1)
@@ -154,7 +161,7 @@ class Trainer:
                 )
                 self._log(f"[dedup] unique-title capacity = {dedup}")
 
-        for epoch in range(1, cfg.epoch + 1):
+        for epoch in range(start_epoch, cfg.epoch + 1):
             t0 = time.time()
             negatives = sampling.sample_negatives(
                 corpus.train_neg_flat, corpus.train_neg_offsets,
