@@ -71,6 +71,9 @@ def main():
         category_num=18,
         use_pallas=on_tpu,
     )
+    from digat_tpu.cli import apply_runtime_config
+
+    apply_runtime_config(cfg)
     model = Model(cfg)
     Gn, L, H = cfg.news_graph_size, cfg.max_title_length, cfg.max_history_num
     news_num = 20_000
@@ -209,6 +212,38 @@ def main():
     train_samples_per_s = B / per_step
     log(f"train: {train_samples_per_s:,.0f} samples/s ({per_step * 1e3:.2f} ms/step of {B})")
 
+    # ---------------- bf16 training step (mixed precision) ----------------
+    import dataclasses
+
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    model16 = Model(cfg16)
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def run_train16(params, opt_state, tables, n):
+        def body(i, carry):
+            p, o, _ = carry
+            b = jax.tree.map(lambda x: x[i % 4], tpool)
+            loss, grads = jax.value_and_grad(model16.loss)(
+                p, tables, b, jax.random.fold_in(jax.random.PRNGKey(0), i)
+            )
+            updates, o = tx.update(grads, o, p)
+            updates = jax.tree.map(lambda u: -1e-4 * u, updates)
+            import optax
+
+            return optax.apply_updates(p, updates), o, loss
+
+        _, _, loss = jax.lax.fori_loop(
+            0, n, body, (params, opt_state, jnp.float32(0.0))
+        )
+        return loss
+
+    per_step16 = marginal_time(
+        lambda n: run_train16(params, opt_state, tables, n),
+        4, 54, lambda o: float(o),
+    )
+    train16 = B / per_step16
+    log(f"train bf16: {train16:,.0f} samples/s ({per_step16 * 1e3:.2f} ms/step)")
+
     baseline_items_per_s = 4500.0  # RTX 3090 fp32, reference README.md:64
     print(
         json.dumps(
@@ -219,6 +254,7 @@ def main():
                 "vs_baseline": round(items_per_s / baseline_items_per_s, 3),
                 "extra": {
                     "train_samples_per_s": round(train_samples_per_s, 1),
+                    "train_samples_per_s_bf16": round(train16, 1),
                     "stage1_cache_s": round(stage1_s, 2),
                     "backend": backend,
                     "baseline": "RTX3090 fp32 ~600s MIND-small test ~= 4500 items/s",

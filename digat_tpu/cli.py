@@ -100,8 +100,16 @@ def run_eval(cfg: Config, mode: str) -> None:
           f"({time.time() - t0:.1f}s)")
 
 
+def apply_runtime_config(cfg: Config) -> None:
+    import jax
+
+    if cfg.rng_impl and cfg.rng_impl != "threefry":
+        jax.config.update("jax_default_prng_impl", cfg.rng_impl)
+
+
 def main(argv=None) -> None:
     cfg = Config.from_args(argv)
+    apply_runtime_config(cfg)
     if cfg.mode == "train":
         run_train(cfg)
     else:

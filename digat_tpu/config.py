@@ -105,6 +105,9 @@ class Config:
     # Each unique news in a training batch is encoded once and gathered.
     dedup_titles: int = -1
     resume: str = ""  # checkpoint path to resume training from
+    # PRNG implementation for dropout streams: 'rbg' uses the TPU hardware
+    # generator (fast); 'threefry' is JAX's default counter-based PRNG.
+    rng_impl: str = "rbg"
 
     def __post_init__(self) -> None:
         if self.dataset == "MIND-small":

@@ -125,10 +125,13 @@ def _call_fwd(q, k, v, mask, heads, tile):
         specs.append(pl.BlockSpec((tile, L), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM))
     # HIGHEST-precision matmul passes need scratch that only fits for
-    # title-length sequences; longer sequences (user-history MSA) run at
-    # default (bf16-input) precision, standard for TPU attention.
+    # title-length sequences, and only apply to fp32 inputs (bf16 operands
+    # are already truncated; Mosaic rejects HIGHEST on them). Longer
+    # sequences (user-history MSA) run at default precision.
     precision = (
-        jax.lax.Precision.HIGHEST if L <= 32 else jax.lax.Precision.DEFAULT
+        jax.lax.Precision.HIGHEST
+        if L <= 32 and q.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, heads, dk, scale, masked, precision),
