@@ -151,6 +151,18 @@ def main():
     items_per_s = eval_bs / per_batch
     log(f"stage2: {items_per_s:,.0f} items/s ({per_batch * 1e3:.2f} ms/batch of {eval_bs})")
 
+    # bf16 eval (mixed-precision scoring; fp32 stays the parity default)
+    bf = lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+    )
+    params16, reps16, c16 = bf(params), bf(news_reps), bf(c_n0)
+    per_batch16 = marginal_time(
+        lambda n: run_eval_device(params16, tables, reps16, c16, pool, n),
+        8, 108, float,
+    )
+    items16 = eval_bs / per_batch16
+    log(f"stage2 bf16: {items16:,.0f} items/s ({per_batch16 * 1e3:.2f} ms/batch)")
+
     # ---------------- training step ----------------
     tx = make_optimizer(cfg.weight_decay, cfg.gradient_clip_norm, params)
     opt_state = tx.init(params)
@@ -255,6 +267,7 @@ def main():
                 "extra": {
                     "train_samples_per_s": round(train_samples_per_s, 1),
                     "train_samples_per_s_bf16": round(train16, 1),
+                    "inference_items_per_s_bf16": round(items16, 1),
                     "stage1_cache_s": round(stage1_s, 2),
                     "backend": backend,
                     "baseline": "RTX3090 fp32 ~600s MIND-small test ~= 4500 items/s",

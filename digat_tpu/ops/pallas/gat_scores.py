@@ -29,18 +29,21 @@ DEFAULT_BATCH_TILE = 8
 def _scores_kernel(k1_ref, k2_ref, k3_ref, a_ref, out_ref):
     """k1,k2: [TB,G,D]; k3: [TB,D]; a: [1,D]; out: [TB,G,G]."""
     G = k1_ref.shape[1]
-    k3 = k3_ref[:, :]  # [TB, D]
-    base = k1_ref[:, :, :] + k3[:, None, :]  # [TB, G, D] (j-varying + query)
-    a = a_ref[0, :]  # [D]
+    # upcast at read: bf16 inputs stream from HBM at half the bytes, the
+    # VPU math runs fp32 (also sidesteps Mosaic's bf16 broadcast-reshape
+    # limitations)
+    k3 = k3_ref[:, :].astype(jnp.float32)  # [TB, D]
+    base = k1_ref[:, :, :].astype(jnp.float32) + k3[:, None, :]  # [TB, G, D]
+    a = a_ref[0, :].astype(jnp.float32)  # [D]
 
     def body(i, _):
-        row = k2_ref[:, i, :]  # [TB, D]
+        row = k2_ref[:, i, :].astype(jnp.float32)  # [TB, D]
         t = jax.nn.relu(base + row[:, None, :])  # [TB, G, D]
         # VPU multiply-reduce accumulating in fp32: a matvec gains nothing
-        # from the MXU, and the reduce over D=400 needs fp32 accumulation
-        # even for bf16 inputs.
-        prod = (t * a[None, None, :]).astype(jnp.float32)
-        out_ref[:, i, :] = jnp.sum(prod, axis=-1).astype(out_ref.dtype)
+        # from the MXU, and the reduce over D=400 needs fp32 accumulation.
+        out_ref[:, i, :] = jnp.sum(t * a[None, None, :], axis=-1).astype(
+            out_ref.dtype
+        )
         return 0
 
     jax.lax.fori_loop(0, G, body, 0)
@@ -92,15 +95,15 @@ def _bwd_kernel(k1_ref, k2_ref, k3_ref, a_ref, g_ref,
     ga[d]      = sum_bij g[b,i,j] relu(x)[b,i,j,d]   (per-tile partial)
     """
     G = k1_ref.shape[1]
-    k3 = k3_ref[:, :]
-    base = k1_ref[:, :, :] + k3[:, None, :]  # [TB, G, D]
-    a = a_ref[0, :]  # [D]
+    k3 = k3_ref[:, :].astype(jnp.float32)
+    base = k1_ref[:, :, :].astype(jnp.float32) + k3[:, None, :]  # [TB, G, D]
+    a = a_ref[0, :].astype(jnp.float32)  # [D]
     gk1_ref[:, :, :] = jnp.zeros(gk1_ref.shape, gk1_ref.dtype)
     gk3_ref[:, :] = jnp.zeros(gk3_ref.shape, gk3_ref.dtype)
     ga_ref[:, :] = jnp.zeros(ga_ref.shape, ga_ref.dtype)
 
     def body(i, _):
-        row = k2_ref[:, i, :]
+        row = k2_ref[:, i, :].astype(jnp.float32)
         t = base + row[:, None, :]  # [TB, G, D]
         relu_t = jax.nn.relu(t)
         m = (t > 0).astype(jnp.float32)
@@ -182,7 +185,18 @@ _scores.defvjp(_scores_fwd, _scores_bwd)
 
 
 def interactive_gat_scores_pallas(k1, k2, k3, a_vec, batch_tile: int = DEFAULT_BATCH_TILE):
-    """Fused Eq.(8) scores. Falls back to the XLA expression off-TPU."""
+    """Fused Eq.(8) scores. Falls back to the XLA expression off-TPU.
+
+    bf16 inputs upcast to fp32 before the kernel: Mosaic cannot
+    dynamically row-index bf16 VMEM refs (16-sublane tiles), and the
+    kernel is VPU-bound in fp32 regardless; the score dtype follows the
+    inputs."""
     if jax.default_backend() != "tpu":
         return _scores_xla(k1, k2, k3, a_vec)
+    if k1.dtype != jnp.float32:
+        out = _scores(
+            k1.astype(jnp.float32), k2.astype(jnp.float32),
+            k3.astype(jnp.float32), a_vec.astype(jnp.float32), batch_tile,
+        )
+        return out.astype(k1.dtype)
     return _scores(k1, k2, k3, a_vec, batch_tile)

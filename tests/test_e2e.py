@@ -82,6 +82,41 @@ def test_eval_mode_reproduces(trained, run_root, capsys):
     np.testing.assert_allclose(reloaded_auc, best_auc, atol=2e-4)
 
 
+def test_cnn_encoder_trains(trained, run_root):
+    """The CNN news-encoder variant trains end-to-end (same data cache)."""
+    cfg = tiny_cfg(run_root, news_encoder="CNN", graph_encoder="wo_SA")
+    cli.run_train(cfg)
+    run_dir = os.path.join(
+        cfg.run_root, cfg.dataset, "CNN-wo_SA", f"#{cfg.run_index}"
+    )
+    assert os.path.exists(os.path.join(run_dir, "best.ckpt"))
+
+
+def test_unlabeled_split_yields_rank_file_only(trained, run_root, tmp_path):
+    """MIND-large-style unlabeled test: scorer returns NaN metrics but
+    writes the leaderboard rank file (reference util.py:81-82)."""
+    import numpy as np
+
+    from digat_tpu.eval.scorer import compute_scores
+    from digat_tpu.models.model import Model
+    from digat_tpu.train import checkpoint as ck
+
+    cfg = tiny_cfg(run_root)
+    corpus = corpus_lib.Corpus(cfg)
+    corpus.test_labels = np.zeros_like(corpus.test_labels)  # unlabeled
+    model = Model(cfg)
+    run_dir = os.path.join(
+        cfg.run_root, cfg.dataset, cfg.model_name, "#1"
+    )
+    params, _, _ = ck.load(
+        os.path.join(run_dir, "best.ckpt"), model.param_template(), None
+    )
+    out = str(tmp_path / "prediction.txt")
+    metrics = compute_scores(model, params, corpus, "test", result_file=out)
+    assert all(np.isnan(m) for m in metrics)
+    assert os.path.exists(out) and open(out).read().startswith("1 [")
+
+
 def test_rank_file_is_leaderboard_format(trained, run_root):
     cfg = trained
     run_dir = os.path.join(
