@@ -189,11 +189,43 @@ def mha(params, x, heads: int, compute_dtype=None, key_mask=None,
     masked variant, Appendix-B/layers.py:85-96); None reproduces the main
     reference's unmasked softmax where pads attend (layers.py:75-88).
 
-    `use_pallas` routes the attention core through the fused VMEM-resident
-    kernel (ops/pallas/msa_attention.py) on TPU."""
+    `use_pallas` routes the attention core through a fused VMEM-resident
+    kernel on TPU: the grouped block-diagonal kernel
+    (ops/pallas/msa_attention_grouped.py) when the head geometry admits a
+    128-lane grouping — the projections are then emitted head-padded by
+    zero-padded weights, so no relayout ever materializes — else the
+    packed per-head kernel (ops/pallas/msa_attention.py)."""
     h = heads
     d_k = params["W_K"]["w"].shape[-1] // h
     d_v = params["W_V"]["w"].shape[-1] // h
+    lead, L2 = x.shape[:-2], x.shape[-2]
+    if use_pallas and d_k == d_v and jax.default_backend() == "tpu":
+        from digat_tpu.ops.pallas.msa_attention_grouped import group_size
+
+        g = group_size(h, L2, d_k)
+    else:
+        g = 0
+    if g > 0:
+        from digat_tpu.ops.pallas.msa_attention_grouped import (
+            msa_attention_grouped, pad_head_projection, unpad_heads)
+
+        dkp = 128 // g
+        qkv = []
+        for name in ("W_Q", "W_K", "W_V"):
+            w, b = pad_head_projection(
+                params[name]["w"], params[name].get("b"), h, dkp
+            )
+            t = x @ w if b is None else x @ w + b
+            qkv.append(t if compute_dtype is None else t.astype(compute_dtype))
+        q, k, v = qkv
+        Dp = h * dkp
+        out = msa_attention_grouped(
+            q.reshape(-1, L2, Dp), k.reshape(-1, L2, Dp),
+            v.reshape(-1, L2, Dp), h, d_k,
+            mask=None if key_mask is None else key_mask.reshape(-1, L2),
+        )
+        out = unpad_heads(out, h, d_v)
+        return out.reshape(*lead, L2, h * d_v).astype(jnp.float32)
     q = linear(params["W_Q"], x)
     k = linear(params["W_K"], x)
     v = linear(params["W_V"], x)
@@ -202,8 +234,7 @@ def mha(params, x, heads: int, compute_dtype=None, key_mask=None,
     if use_pallas and d_k == d_v:
         from digat_tpu.ops.pallas.msa_attention import msa_attention
 
-        lead = x.shape[:-2]
-        L2, D2 = x.shape[-2], h * d_v
+        D2 = h * d_v
         out = msa_attention(
             q.reshape(-1, L2, D2), k.reshape(-1, L2, D2),
             v.reshape(-1, L2, D2), h,

@@ -130,3 +130,78 @@ def test_msa_attention_masked_grads(tpu):
     for a, b in zip(gp, gx):
         scale = max(float(jnp.abs(b).max()), 1e-6)
         assert float(jnp.abs(a - b).max()) / scale < 0.05
+
+
+def test_msa_attention_grouped_fwd_vs_float64(tpu):
+    """Grouped block-diagonal kernel vs a float64 reference (hardware
+    result this round: 4.6e-6 max abs vs the packed kernel at
+    [10240, 32, 400]; 2.25x faster forward, 1.56x fwd+bwd in fp32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from digat_tpu.ops.pallas.msa_attention_grouped import (
+        group_size, msa_attention_grouped, unpad_heads)
+
+    rng = np.random.default_rng(4)
+    N, L, H, dk = 64, 32, 16, 25
+    g = group_size(H, L, dk)
+    dkp = 128 // g
+    D = H * dk
+    q = rng.normal(size=(N, L, D)).astype(np.float32)
+    k = rng.normal(size=(N, L, D)).astype(np.float32)
+    v = rng.normal(size=(N, L, D)).astype(np.float32)
+    pad = lambda x: np.pad(
+        x.reshape(N, L, H, dk), ((0, 0), (0, 0), (0, 0), (0, dkp - dk))
+    ).reshape(N, L, H * dkp)
+    qh = q.reshape(N, L, H, dk).astype(np.float64)
+    kh = k.reshape(N, L, H, dk).astype(np.float64)
+    vh = v.reshape(N, L, H, dk).astype(np.float64)
+    s = np.einsum("nihd,njhd->nhij", qh, kh) / np.sqrt(dk)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    a = e / e.sum(-1, keepdims=True)
+    ref = np.einsum("nhij,njhd->nihd", a, vh).reshape(N, L, D)
+    out = np.asarray(
+        unpad_heads(
+            jax.jit(
+                lambda a_, b, c: msa_attention_grouped(a_, b, c, H, dk)
+            )(jnp.asarray(pad(q)), jnp.asarray(pad(k)), jnp.asarray(pad(v))),
+            H, dk,
+        )
+    )
+    assert np.abs(out - ref).max() < 1e-4
+
+
+def test_msa_attention_grouped_grads(tpu):
+    import jax
+    import jax.numpy as jnp
+
+    from digat_tpu.ops.pallas.msa_attention import _attention_xla
+    from digat_tpu.ops.pallas.msa_attention_grouped import (
+        group_size, msa_attention_grouped, unpad_heads)
+
+    rng = np.random.default_rng(5)
+    N, L, H, dk = 32, 32, 16, 25
+    g = group_size(H, L, dk)
+    dkp = 128 // g
+    D = H * dk
+    q = jnp.asarray(rng.normal(size=(N, L, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(N, L, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(N, L, D)), jnp.float32)
+    m = jnp.asarray(rng.random((N, L)) < 0.8)
+    pad = lambda x: jnp.pad(
+        x.reshape(N, L, H, dk), ((0, 0), (0, 0), (0, 0), (0, dkp - dk))
+    ).reshape(N, L, H * dkp)
+
+    def f_g(q_, k_, v_):
+        o = unpad_heads(
+            msa_attention_grouped(pad(q_), pad(k_), pad(v_), H, dk, mask=m),
+            H, dk,
+        )
+        return jnp.sum(o ** 2) / N
+
+    f_x = lambda *xs: jnp.sum(_attention_xla(*xs, m, H) ** 2) / N
+    gg = jax.jit(jax.grad(f_g, argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.jit(jax.grad(f_x, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(gg, gx):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        assert float(jnp.abs(a - b).max()) / scale < 0.05
