@@ -182,7 +182,7 @@ def mha_init(key, heads: int, d_model: int, d_k: int, d_v: int):
 
 
 def mha(params, x, heads: int, compute_dtype=None, key_mask=None,
-        use_pallas: bool = False):
+        use_pallas: bool = False, return_padded: bool = False):
     """Self-attention. x: [..., L, d_model] -> [..., L, heads*d_v].
 
     `key_mask` [..., L] masks keys with the -1e9 fill (the Appendix-B
@@ -194,7 +194,14 @@ def mha(params, x, heads: int, compute_dtype=None, key_mask=None,
     (ops/pallas/msa_attention_grouped.py) when the head geometry admits a
     128-lane grouping — the projections are then emitted head-padded by
     zero-padded weights, so no relayout ever materializes — else the
-    packed per-head kernel (ops/pallas/msa_attention.py)."""
+    packed per-head kernel (ops/pallas/msa_attention.py).
+
+    With `return_padded=True` the function returns `(out, dv_stride)`
+    instead: when the grouped kernel ran, `out` keeps the head-padded
+    layout [..., L, heads*dv_stride] (each head occupies dv_stride lanes,
+    the first d_v of them real) and the caller is responsible for slicing
+    — this lets downstream elementwise+pooling ops run on the padded
+    layout and defers the unpad relayout to a far smaller tensor."""
     h = heads
     d_k = params["W_K"]["w"].shape[-1] // h
     d_v = params["W_V"]["w"].shape[-1] // h
@@ -224,6 +231,8 @@ def mha(params, x, heads: int, compute_dtype=None, key_mask=None,
             v.reshape(-1, L2, Dp), h, d_k,
             mask=None if key_mask is None else key_mask.reshape(-1, L2),
         )
+        if return_padded:
+            return out.reshape(*lead, L2, Dp).astype(jnp.float32), dkp
         out = unpad_heads(out, h, d_v)
         return out.reshape(*lead, L2, h * d_v).astype(jnp.float32)
     q = linear(params["W_Q"], x)
@@ -240,7 +249,8 @@ def mha(params, x, heads: int, compute_dtype=None, key_mask=None,
             v.reshape(-1, L2, D2), h,
             mask=None if key_mask is None else key_mask.reshape(-1, L2),
         )
-        return out.reshape(*lead, L2, D2).astype(jnp.float32)
+        out = out.reshape(*lead, L2, D2).astype(jnp.float32)
+        return (out, d_v) if return_padded else out
     q = q.reshape(*x.shape[:-1], h, d_k)
     k = k.reshape(*x.shape[:-1], h, d_k)
     v = v.reshape(*x.shape[:-1], h, d_v)
@@ -251,7 +261,8 @@ def mha(params, x, heads: int, compute_dtype=None, key_mask=None,
         )
     alpha = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(v.dtype)
     out = jnp.einsum("...hqk,...khd->...qhd", alpha, v)
-    return out.reshape(*x.shape[:-1], h * d_v).astype(jnp.float32)
+    out = out.reshape(*x.shape[:-1], h * d_v).astype(jnp.float32)
+    return (out, d_v) if return_padded else out
 
 
 # ---------------------------------------------------------------------------

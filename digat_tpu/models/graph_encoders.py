@@ -173,6 +173,23 @@ def _gat_layer(gat, i, st, rng, train, x, adj, query):
     x: [B, G, D]; adj: [B, G, G] bool; query: [B, D] or None.
     out[i] = relu(sum_j alpha[i,j] h[j]) + x[i], softmax over neighbors j.
     """
+    if (
+        not train
+        and query is not None
+        and st.use_pallas
+        and jax.default_backend() == "tpu"
+    ):
+        # inference: the whole layer (projections, Eq.(8) scores, masked
+        # softmax, aggregation, residual) runs as one VMEM-resident kernel
+        from digat_tpu.ops.pallas.gat_layer import interactive_gat_layer_fused
+
+        return interactive_gat_layer_fused(
+            x, adj, query,
+            gat["W"]["w"][i], gat["W"]["b"][i],
+            gat["ffn1"]["w"][i], gat["ffn2"]["w"][i],
+            gat["ffn3"]["w"][i], gat["ffn3"]["b"][i],
+            gat["a"]["w"][i, :, 0],
+        )
     r_in, r_alpha = jax.random.split(rng)
     x = L.dropout(r_in, x, st.dropout_rate / 2, train)
     h = L.stacked_linear(gat["W"], i, x)

@@ -65,15 +65,33 @@ def encode(params, st: NewsStatic, rng, train: bool, title_text, title_mask):
     w = L.dropout(r_emb, w, st.dropout_rate, train)
     lead = w.shape[:-2]
     w2 = w.reshape((-1, st.max_title_length, st.word_dim))
+    mask2 = title_mask.reshape((-1, st.max_title_length))
     if st.encoder == "CNN":
         h = L.conv1d_bank(params["conv"], w2, st.cnn_method, st.cnn_window_size)
         h = L.dropout(r_enc, h, st.dropout_rate, train)
-    else:
-        cd = jnp.bfloat16 if st.compute_dtype == "bfloat16" else None
-        h = jax.nn.relu(
-            L.mha(params["msa"], w2, st.msa_heads, compute_dtype=cd,
-                  use_pallas=st.use_pallas)
-        )
-    mask2 = title_mask.reshape((-1, st.max_title_length))
-    pooled = L.attn_pool(params["pool"], h, mask=mask2)
+        pooled = L.attn_pool(params["pool"], h, mask=mask2)
+        return pooled.reshape(*lead, st.dim)
+    cd = jnp.bfloat16 if st.compute_dtype == "bfloat16" else None
+    h, dv_stride = L.mha(params["msa"], w2, st.msa_heads, compute_dtype=cd,
+                         use_pallas=st.use_pallas, return_padded=True)
+    h = jax.nn.relu(h)
+    dv = st.dim // st.msa_heads
+    if dv_stride == dv:
+        pooled = L.attn_pool(params["pool"], h, mask=mask2)
+        return pooled.reshape(*lead, st.dim)
+    # head-padded layout from the grouped kernel: relu and pooling run on
+    # the padded lanes (zero-padding the pool's first affine row-wise makes
+    # the attention logits identical), and the unpad relayout happens on the
+    # pooled [N, dim] tensor — L x smaller than unpadding h itself.
+    from digat_tpu.ops.pallas.msa_attention_grouped import unpad_heads
+
+    pool_p = dict(params["pool"])
+    w1 = pool_p["affine1"]["w"]  # [dim, attention_dim]
+    w1p = jnp.pad(
+        w1.reshape(st.msa_heads, dv, -1),
+        ((0, 0), (0, dv_stride - dv), (0, 0)),
+    ).reshape(st.msa_heads * dv_stride, -1)
+    pool_p["affine1"] = {**params["pool"]["affine1"], "w": w1p}
+    pooled = L.attn_pool(pool_p, h, mask=mask2)
+    pooled = unpad_heads(pooled, st.msa_heads, dv)
     return pooled.reshape(*lead, st.dim)

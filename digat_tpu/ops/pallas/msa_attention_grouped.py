@@ -141,7 +141,7 @@ def _softmax_grouped(s, bseg, precision):
     return e / _seg_sum(e, bseg, precision)
 
 
-def _fwd_kernel(G, g, L, dkp, scale, masked, precision, *refs):
+def _fwd_kernel(G, g, L, dkp, scale, masked, mm_prec, seg_prec, *refs):
     if masked:
         q_ref, k_ref, v_ref, m_ref, bseg_ref, o_ref = refs
         # [TN, L] -> per-lane fill over (h, j): tile across heads
@@ -158,15 +158,15 @@ def _fwd_kernel(G, g, L, dkp, scale, masked, precision, *refs):
         kg = k_ref[:, :, sl].astype(jnp.float32)
         vg = v_ref[:, :, sl].astype(jnp.float32)
         kexp = _expand_T(kg, g, dkp)  # [TN, GD, g*L]
-        s = _dot(qg, kexp, precision) * scale  # [TN, L, g*L]
+        s = _dot(qg, kexp, mm_prec) * scale  # [TN, L, g*L]
         if neg is not None:
             s = s + neg
-        a = _softmax_grouped(s, bseg, precision)
+        a = _softmax_grouped(s, bseg, seg_prec)
         vexp = _expand_S(vg, g, dkp, L)  # [TN, g*L, GD]
-        o_ref[:, :, sl] = _dot(a, vexp, precision).astype(o_ref.dtype)
+        o_ref[:, :, sl] = _dot(a, vexp, mm_prec).astype(o_ref.dtype)
 
 
-def _bwd_kernel(G, g, L, dkp, scale, masked, precision, *refs):
+def _bwd_kernel(G, g, L, dkp, scale, masked, mm_prec, seg_prec, *refs):
     if masked:
         (q_ref, k_ref, v_ref, m_ref, bseg_ref, do_ref,
          dq_ref, dk_ref, dv_ref) = refs
@@ -184,22 +184,22 @@ def _bwd_kernel(G, g, L, dkp, scale, masked, precision, *refs):
         vg = v_ref[:, :, sl].astype(jnp.float32)
         dog = do_ref[:, :, sl].astype(jnp.float32)
         kexp = _expand_T(kg, g, dkp)
-        s = _dot(qg, kexp, precision) * scale
+        s = _dot(qg, kexp, mm_prec) * scale
         if neg is not None:
             s = s + neg
-        a = _softmax_grouped(s, bseg, precision)  # [TN, L, g*L]
+        a = _softmax_grouped(s, bseg, seg_prec)  # [TN, L, g*L]
         # da[i,(h,j)] = sum_c do[i,(h,c)] v[j,(h,c)]
         vexpT = _expand_T(vg, g, dkp)  # [TN, GD, g*L]
-        da = _dot(dog, vexpT, precision)
-        tsum = _seg_sum(da * a, bseg, precision)
+        da = _dot(dog, vexpT, mm_prec)
+        tsum = _seg_sum(da * a, bseg, seg_prec)
         ds = (da - tsum) * a * scale  # [TN, L, g*L]
         # dq[i,(h,c)] = sum_j ds[i,(h,j)] k[j,(h,c)]
         kexp2 = _expand_S(kg, g, dkp, L)  # [TN, g*L, GD]
-        dq_ref[:, :, sl] = _dot(ds, kexp2, precision).astype(dq_ref.dtype)
+        dq_ref[:, :, sl] = _dot(ds, kexp2, mm_prec).astype(dq_ref.dtype)
         # dk[j,(h,c)] = sum_i ds[i,(h,j)] q[i,(h,c)]: full product then
         # extract the diagonal (h == h') blocks
         dsT = jnp.swapaxes(ds, 1, 2)  # [TN, g*L, L]
-        p = _dot(dsT, qg, precision)  # [TN, g*L(h,j), GD(h',c)]
+        p = _dot(dsT, qg, mm_prec)  # [TN, g*L(h,j), GD(h',c)]
         head_of_lane = _lane_head((p.shape[0], L, GD), dkp, 2)
         dk_acc = jnp.zeros((p.shape[0], L, GD), jnp.float32)
         for h in range(g):
@@ -208,7 +208,7 @@ def _bwd_kernel(G, g, L, dkp, scale, masked, precision, *refs):
         dk_ref[:, :, sl] = dk_acc.astype(dk_ref.dtype)
         # dv[j,(h,c)] = sum_i a[i,(h,j)] do[i,(h,c)]: same extraction
         aT = jnp.swapaxes(a, 1, 2)  # [TN, g*L, L]
-        p2 = _dot(aT, dog, precision)
+        p2 = _dot(aT, dog, mm_prec)
         dv_acc = jnp.zeros((p2.shape[0], L, GD), jnp.float32)
         for h in range(g):
             blk = p2[:, h * L : (h + 1) * L, :]
@@ -249,13 +249,12 @@ def _call(is_bwd, q, k, v, mask, do, heads, dk, g, tile, interpret):
         (g * L, g * L), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
 
-    # fp32 inputs contract at HIGHEST (3-pass bf16 reconstructs fp32
+    # fp32 inputs contract at HIGHEST (multi-pass bf16 reconstructs fp32
     # products); bf16 inputs run single-pass.
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if q.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    if q.dtype == jnp.float32:
+        mm_prec = seg_prec = jax.lax.Precision.HIGHEST
+    else:
+        mm_prec = seg_prec = jax.lax.Precision.DEFAULT
 
     ins = main[:3]
     specs = [bld, bld, bld]
@@ -273,7 +272,7 @@ def _call(is_bwd, q, k, v, mask, do, heads, dk, g, tile, interpret):
     shape = jax.ShapeDtypeStruct((npad, L, Dp), q.dtype)
     flops_mm = 2 * npad * L * (g * L) * (g * dkp) * G
     out = pl.pallas_call(
-        functools.partial(kernel, G, g, L, dkp, scale, masked, precision),
+        functools.partial(kernel, G, g, L, dkp, scale, masked, mm_prec, seg_prec),
         grid=(npad // tile,),
         in_specs=specs,
         out_specs=(bld,) * nout if is_bwd else bld,
