@@ -31,6 +31,7 @@ broadcast) — see graphEncoders.py:22-24.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -51,6 +52,15 @@ VARIANTS = (
     "news_graph_wo_inter",
     "user_graph_wo_inter",
 )
+
+# Node-count gate for the fused eval GAT-layer kernel. Measured on v5e
+# (B=1024, D=400, depth 3): the XLA composition + the Pallas Eq.(8) score
+# kernel runs the eval graph encoder in 18.7 ms vs 22.2 ms with the fused
+# layer kernel at either graph size (G=26 SAG, G=68 user graph) — XLA's own
+# fusion of the projection matmuls with neighboring ops wins, so the fused
+# kernel is off by default and kept for much larger graphs or explicit
+# override via DIGAT_FUSED_MIN_NODES.
+_FUSED_LAYER_MIN_NODES = int(os.environ.get("DIGAT_FUSED_MIN_NODES", "128"))
 
 
 class GraphStatic(NamedTuple):
@@ -177,6 +187,7 @@ def _gat_layer(gat, i, st, rng, train, x, adj, query):
         not train
         and query is not None
         and st.use_pallas
+        and x.shape[1] >= _FUSED_LAYER_MIN_NODES
         and jax.default_backend() == "tpu"
     ):
         # inference: the whole layer (projections, Eq.(8) scores, masked
