@@ -53,14 +53,16 @@ VARIANTS = (
     "user_graph_wo_inter",
 )
 
-# Node-count gate for the fused eval GAT-layer kernel. Measured on v5e
-# (B=1024, D=400, depth 3): the XLA composition + the Pallas Eq.(8) score
-# kernel runs the eval graph encoder in 18.7 ms vs 22.2 ms with the fused
-# layer kernel at either graph size (G=26 SAG, G=68 user graph) — XLA's own
-# fusion of the projection matmuls with neighboring ops wins, so the fused
-# kernel is off by default and kept for much larger graphs or explicit
-# override via DIGAT_FUSED_MIN_NODES.
-_FUSED_LAYER_MIN_NODES = int(os.environ.get("DIGAT_FUSED_MIN_NODES", "128"))
+# Node-count gate for the fused eval GAT-layer kernel, overridable via
+# DIGAT_FUSED_MIN_NODES. Interleaved A/B on v5e (B=1024, D=400, depth 3,
+# G=26 SAG / G=68 user graph): measured in isolation the XLA composition +
+# the Pallas Eq.(8) score kernel runs the eval graph encoder faster
+# (18.6 ms vs 22.2 ms fused), but in the full inference step the fused
+# layer wins (23.6 ms vs 25.5 ms) — one VMEM-resident kernel per layer
+# leaves HBM bandwidth free for the concurrent news-rep/SAG gathers
+# (full-minus-encoder overhead: 1.4 ms fused vs 6.9 ms unfused). End-to-end
+# is what ships, so the fused kernel is on by default.
+_FUSED_LAYER_MIN_NODES = int(os.environ.get("DIGAT_FUSED_MIN_NODES", "0"))
 
 
 class GraphStatic(NamedTuple):
@@ -188,6 +190,7 @@ def _gat_layer(gat, i, st, rng, train, x, adj, query):
         and query is not None
         and st.use_pallas
         and x.shape[1] >= _FUSED_LAYER_MIN_NODES
+        and x.dtype == jnp.float32  # kernel upcasts to fp32; bf16 is faster unfused
         and jax.default_backend() == "tpu"
     ):
         # inference: the whole layer (projections, Eq.(8) scores, masked
