@@ -72,6 +72,21 @@ def encode(params, st: NewsStatic, rng, train: bool, title_text, title_mask):
         pooled = L.attn_pool(params["pool"], h, mask=mask2)
         return pooled.reshape(*lead, st.dim)
     cd = jnp.bfloat16 if st.compute_dtype == "bfloat16" else None
+    dv = st.dim // st.msa_heads
+    if st.use_pallas and jax.default_backend() == "tpu":
+        from digat_tpu.ops.pallas.msa_attention_grouped import (
+            group_size, unpad_heads)
+
+        if group_size(st.msa_heads, st.max_title_length, dv) > 0:
+            # whole post-embedding pipeline (projections, attention, relu,
+            # masked pool) as one fused VMEM-resident kernel
+            from digat_tpu.ops.pallas.msa_encoder import msa_encoder_pooled
+
+            pooled, _ = msa_encoder_pooled(
+                w2, mask2, params["msa"], params["pool"], st.msa_heads, dv
+            )
+            pooled = unpad_heads(pooled, st.msa_heads, dv)
+            return pooled.reshape(*lead, st.dim)
     h, dv_stride = L.mha(params["msa"], w2, st.msa_heads, compute_dtype=cd,
                          use_pallas=st.use_pallas, return_padded=True)
     h = jax.nn.relu(h)

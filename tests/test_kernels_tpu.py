@@ -253,3 +253,55 @@ def test_interactive_gat_layer_fused(tpu):
         # DEFAULT-precision MXU projections: same accuracy class as the
         # XLA-composed fp32 eval path this kernel replaces (~1e-3)
         assert rel < 5e-3, (B, G, rel)
+
+
+def test_msa_encoder_fused_vs_unfused(tpu):
+    """Fused news-encoder kernel (projections+attention+relu+pool) against
+    the unfused composition, forward and every gradient, on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from digat_tpu import layers as L
+    from digat_tpu.ops.pallas.msa_attention_grouped import unpad_heads
+    from digat_tpu.ops.pallas.msa_encoder import msa_encoder_pooled
+
+    heads, dk, Lt, Din, A = 16, 25, 32, 300, 256
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    msa = L.mha_init(ks[0], heads, Din, dk, dk)
+    pool = L.attn_pool_init(ks[1], heads * dk, A)
+    n = 96
+    x = jax.random.normal(ks[2], (n, Lt, Din)) * 0.6
+    mask = jax.random.uniform(ks[3], (n, Lt)) < 0.75
+    mask = mask.at[0].set(False)
+    cvec = jax.random.normal(ks[4], (n, heads * dk))
+
+    def unfused(m, p, xx):
+        h = jax.nn.relu(L.mha(m, xx, heads, use_pallas=True))
+        return L.attn_pool(p, h, mask=mask)
+
+    def fused(m, p, xx):
+        out, _ = msa_encoder_pooled(xx, mask, m, p, heads, dk)
+        return unpad_heads(out, heads, dk)
+
+    @jax.jit
+    def run(params):
+        m, p, xx = params
+        fu = unfused(m, p, xx)
+        ff = fused(m, p, xx)
+        gu = jax.grad(lambda q: jnp.sum(unfused(*q) * cvec))(params)
+        gf = jax.grad(lambda q: jnp.sum(fused(*q) * cvec))(params)
+        return fu, ff, gu, gf
+
+    fu, ff, gu, gf = run((msa, pool, x))
+    assert float(jnp.max(jnp.abs(fu - ff))) < 1e-5 * (
+        float(jnp.max(jnp.abs(fu))) + 1
+    )
+
+    def check(a, b):
+        # both paths run DEFAULT-precision projections (single-pass bf16
+        # products) in different associations: ~1e-3 relative is the
+        # expected reassociation noise, not kernel error
+        scale = float(jnp.max(jnp.abs(a)))
+        assert float(jnp.max(jnp.abs(a - b))) < 5e-3 * (scale + 1e-3)
+
+    jax.tree.map(check, gu, gf)
