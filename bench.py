@@ -195,7 +195,15 @@ def main():
         f"{B * (1 + K) * Gn + B * H} slots, capacity {cap}")
     tpool = jax.tree.map(
         lambda *xs: jnp.asarray(np.stack(xs)),
-        *[dedup_batch(b, tables.news_node_id, cap) for b in raw_batches],
+        *[
+            dedup_batch(
+                b, tables.news_node_id, cap,
+                news_title_text=np.asarray(tables.news_title_text)
+                if on_tpu else None,
+                vocab_size=cfg.vocabulary_size if on_tpu else 0,
+            )
+            for b in raw_batches
+        ],
     )
 
     @functools.partial(jax.jit, static_argnums=3)

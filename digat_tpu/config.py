@@ -104,6 +104,9 @@ class Config:
     # Unique-title batch dedup capacity: -1 auto-size, 0 off, >0 fixed.
     # Each unique news in a training batch is encoded once and gathered.
     dedup_titles: int = -1
+    # Sorted word-embedding gradient (Pallas row-sum kernel instead of the
+    # XLA scatter-add). Needs the dedup path; auto-disabled off-TPU.
+    sorted_emb_grad: bool = True
     resume: str = ""  # checkpoint path to resume training from
     # PRNG implementation for dropout streams: 'rbg' uses the TPU hardware
     # generator (fast); 'threefry' is JAX's default counter-based PRNG.

@@ -24,8 +24,13 @@ import numpy as np
 from digat_tpu.models.model import DedupTrainBatch, EvalBatch, TrainBatch
 
 
-def dedup_batch(batch: TrainBatch, news_node_id, capacity: int) -> DedupTrainBatch:
-    """Convert a TrainBatch to its unique-title form (asserts capacity)."""
+def dedup_batch(batch: TrainBatch, news_node_id, capacity: int,
+                news_title_text=None, vocab_size: int = 0) -> DedupTrainBatch:
+    """Convert a TrainBatch to its unique-title form (asserts capacity).
+
+    When `news_title_text` + `vocab_size` are given, also builds the
+    sorted word-embedding-gradient metadata (ops.pallas.emb_grad) for the
+    batch's token stream, enabling the scatter-free embedding backward."""
     node_ids = np.asarray(news_node_id)[np.asarray(batch.sample_idx)]
     hist = np.asarray(batch.history_idx)
     flat = np.concatenate([node_ids.ravel(), hist.ravel()])
@@ -34,6 +39,13 @@ def dedup_batch(batch: TrainBatch, news_node_id, capacity: int) -> DedupTrainBat
     uniq_ids = np.zeros(capacity, np.int32)
     uniq_ids[: len(uniq)] = uniq
     split = node_ids.size
+    emb = None
+    if news_title_text is not None and vocab_size > 0:
+        from digat_tpu.ops.pallas.emb_grad import build_sorted_emb_meta
+
+        emb = build_sorted_emb_meta(
+            np.asarray(news_title_text)[uniq_ids], vocab_size
+        )
     return DedupTrainBatch(
         uniq_ids=uniq_ids,
         cand_inv=inv[:split].reshape(node_ids.shape).astype(np.int32),
@@ -41,6 +53,7 @@ def dedup_batch(batch: TrainBatch, news_node_id, capacity: int) -> DedupTrainBat
         cat_idx=np.asarray(batch.cat_idx),
         sample_idx=np.asarray(batch.sample_idx),
         weight=np.asarray(batch.weight),
+        emb=emb,
     )
 
 
@@ -89,10 +102,14 @@ def train_batches(
     drop_remainder: bool = False,
     news_node_id: Optional[np.ndarray] = None,
     dedup_titles: int = 0,
+    news_title_text: Optional[np.ndarray] = None,
+    vocab_size: int = 0,
 ) -> Iterator[TrainBatch]:
     """When `dedup_titles` > 0 (and `news_node_id` is given) yields
     DedupTrainBatch with per-batch unique-title indices padded to that
-    static capacity; raises DedupOverflow if a batch exceeds it."""
+    static capacity; batches that exceed it fall back to plain TrainBatch.
+    `news_title_text` + `vocab_size` additionally attach sorted
+    embedding-gradient metadata (see dedup_batch)."""
     num = len(pos)
     order = np.random.default_rng(epoch_seed).permutation(num)
     order = order[shard_index::shard_count]
@@ -131,6 +148,13 @@ def train_batches(
             uniq_ids = np.zeros(dedup_titles, np.int32)
             uniq_ids[: len(uniq)] = uniq
             split = node_ids.size
+            emb = None
+            if news_title_text is not None and vocab_size > 0:
+                from digat_tpu.ops.pallas.emb_grad import build_sorted_emb_meta
+
+                emb = build_sorted_emb_meta(
+                    news_title_text[uniq_ids], vocab_size
+                )
             yield DedupTrainBatch(
                 uniq_ids=uniq_ids,
                 cand_inv=inv[:split].reshape(node_ids.shape).astype(np.int32),
@@ -138,6 +162,7 @@ def train_batches(
                 cat_idx=cat_idx[rows].astype(np.int32),
                 sample_idx=samples,
                 weight=weight,
+                emb=emb,
             )
         else:
             yield TrainBatch(

@@ -50,7 +50,12 @@ class DedupTrainBatch(NamedTuple):
     `uniq_ids`; the encoder runs once per unique title and inverse-index
     gathers fan the representations out. Mathematically identical to
     TrainBatch (the gather VJP scatter-adds the gradients), but the
-    HBM-bound encoder work drops by the duplication factor."""
+    HBM-bound encoder work drops by the duplication factor.
+
+    `emb` optionally carries host-computed sort metadata
+    (ops.pallas.emb_grad.EmbGradMeta) for the batch's token stream
+    `news_title_text[uniq_ids]`; when present, the word-embedding gradient
+    runs through the sorted row-sum kernel instead of an XLA scatter."""
 
     uniq_ids: jnp.ndarray  # [U] int32 news ids (0-padded)
     cand_inv: jnp.ndarray  # [B, 1+K, Gn] int32 indices into uniq
@@ -58,6 +63,7 @@ class DedupTrainBatch(NamedTuple):
     cat_idx: jnp.ndarray  # [B, H] int32
     sample_idx: jnp.ndarray  # [B, 1+K] int32 (graphs/masks gather)
     weight: jnp.ndarray  # [B] float32
+    emb: Optional[tuple] = None  # EmbGradMeta or None
 
 
 class EvalBatch(NamedTuple):
@@ -200,6 +206,7 @@ class Model:
                 params["news_encoder"], self.news_st, r_enc, train,
                 tables.news_title_text[batch.uniq_ids],
                 tables.news_title_mask[batch.uniq_ids],
+                emb_meta=batch.emb,
             )  # [U, D]
             cand = uniq_reps[batch.cand_inv]  # [B, N, Gn, D]
             hist = uniq_reps[batch.hist_inv]  # [B, H, D]

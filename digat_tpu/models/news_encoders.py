@@ -56,12 +56,20 @@ def init(key, st: NewsStatic, word_embedding=None):
     return params
 
 
-def encode(params, st: NewsStatic, rng, train: bool, title_text, title_mask):
+def encode(params, st: NewsStatic, rng, train: bool, title_text, title_mask,
+           emb_meta=None):
     """title_text: [..., L] int32, title_mask: [..., L] -> [..., dim].
 
-    Works for any leading batch shape ([B, N, L], [B, N, G, L], ...)."""
+    Works for any leading batch shape ([B, N, L], [B, N, G, L], ...).
+    `emb_meta`: optional sorted-gradient metadata for exactly this
+    title_text (ops.pallas.emb_grad) — same forward, scatter-free backward."""
     r_emb, r_enc = jax.random.split(rng)
-    w = params["word_embedding"][title_text]  # [..., L, word_dim]
+    if emb_meta is not None:
+        from digat_tpu.ops.pallas.emb_grad import embedding_lookup
+
+        w = embedding_lookup(params["word_embedding"], title_text, emb_meta)
+    else:
+        w = params["word_embedding"][title_text]  # [..., L, word_dim]
     w = L.dropout(r_emb, w, st.dropout_rate, train)
     lead = w.shape[:-2]
     w2 = w.reshape((-1, st.max_title_length, st.word_dim))

