@@ -90,8 +90,12 @@ def encode(params, st: NewsStatic, rng, train: bool, title_text, title_mask,
             # masked pool) as one fused VMEM-resident kernel
             from digat_tpu.ops.pallas.msa_encoder import msa_encoder_pooled
 
+            # train: DEFAULT-precision attention products (the unfused XLA
+            # fp32 path's accuracy class, 1.5x faster); eval: auto (exact
+            # fp32 class) so cached representations don't drift
             pooled, _ = msa_encoder_pooled(
-                w2, mask2, params["msa"], params["pool"], st.msa_heads, dv
+                w2, mask2, params["msa"], params["pool"], st.msa_heads, dv,
+                precision="default" if train else "auto",
             )
             pooled = unpad_heads(pooled, st.msa_heads, dv)
             return pooled.reshape(*lead, st.dim)

@@ -246,18 +246,23 @@ def _vmem_tile(L, Din, Dp, A, g, is_bwd, budget=11 * 1024 * 1024):
 
 
 def _call(is_bwd, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, dp,
-          heads, dk, g, tile, interpret):
+          heads, dk, g, tile, interpret, prec="auto"):
     N, L, Din = x.shape
     Dp = wq.shape[1]
     dkp = Dp // heads
     G = heads // g
     A = w1.shape[1]
     scale = 1.0 / math.sqrt(float(dk))
-    att_prec = (
-        jax.lax.Precision.HIGHEST
-        if x.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    if prec == "default":
+        att_prec = jax.lax.Precision.DEFAULT
+    elif prec == "highest":
+        att_prec = jax.lax.Precision.HIGHEST
+    else:  # auto: exact-class attention for fp32, bf16 products for bf16
+        att_prec = (
+            jax.lax.Precision.HIGHEST
+            if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
     if tile <= 0:
         tile = _vmem_tile(L, Din, Dp, A, g, is_bwd)
     bseg = jnp.asarray(_bseg(g, L))
@@ -324,24 +329,24 @@ def _call(is_bwd, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, dp,
     return out[:n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
 def _encoder(x, mask, wq, bq, wk, wv, bv, w1, b1, vv,
-             heads, dk, g, tile, interpret):
+             heads, dk, g, tile, interpret, prec):
     return _call(False, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, None,
-                 heads, dk, g, tile, interpret)
+                 heads, dk, g, tile, interpret, prec)
 
 
 def _encoder_fwd(x, mask, wq, bq, wk, wv, bv, w1, b1, vv,
-                 heads, dk, g, tile, interpret):
+                 heads, dk, g, tile, interpret, prec):
     out = _call(False, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, None,
-                heads, dk, g, tile, interpret)
+                heads, dk, g, tile, interpret, prec)
     return out, (x, mask, wq, bq, wk, wv, bv, w1, b1, vv)
 
 
-def _encoder_bwd(heads, dk, g, tile, interpret, res, grad):
+def _encoder_bwd(heads, dk, g, tile, interpret, prec, res, grad):
     x, mask, wq, bq, wk, wv, bv, w1, b1, vv = res
     outs = _call(True, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, grad,
-                 heads, dk, g, tile, interpret)
+                 heads, dk, g, tile, interpret, prec)
     dx, dwq, dbq, dwk, dwv, dbv, dw1, db1, dvv = outs
     cast = lambda gk, p: gk.astype(p.dtype)
     return (dx, None, cast(dwq, wq), cast(dbq, bq), cast(dwk, wk),
@@ -370,7 +375,8 @@ def _encoder_xla(x, mask, wq, bq, wk, wv, bv, w1, b1, vv, heads, dk):
 
 
 def msa_encoder_pooled(x, mask, msa_params, pool_params, heads: int, dk: int,
-                       tile: int = 0, interpret: bool = False):
+                       tile: int = 0, interpret: bool = False,
+                       precision: str = "auto"):
     """Fused MSA encoder on post-dropout word embeddings.
 
     x: [N, L, Din] (fp32 or bf16), mask: [N, L] bool title mask.
@@ -378,6 +384,14 @@ def msa_encoder_pooled(x, mask, msa_params, pool_params, heads: int, dk: int,
     layers.attn_pool_init layouts). Returns (pooled [N, heads*dkp] fp32 in
     the HEAD-PADDED layout, dkp) — callers unpad with
     msa_attention_grouped.unpad_heads.
+
+    `precision` sets the attention-contraction MXU precision: "auto"
+    (HIGHEST for fp32, DEFAULT for bf16), "default", or "highest". The
+    training path passes "default" for fp32 — single-pass bf16 products
+    with fp32 accumulation, the same accuracy class as XLA's own fp32
+    attention lowering (1.4e-2 abs vs float64) and 1.5x faster fwd+bwd
+    (60.5 -> 39.9 ms at the 10k-title training shapes); eval keeps "auto"
+    so cached representations stay at exact-fp32 class.
     """
     N, L, Din = x.shape
     g = group_size(heads, L, dk)
@@ -406,6 +420,6 @@ def msa_encoder_pooled(x, mask, msa_params, pool_params, heads: int, dk: int,
         )
     return (
         _encoder(x, mask.astype(jnp.bool_), wq, bq, wk, wv, bv, w1p, b1, vv,
-                 heads, dk, g, tile, interpret),
+                 heads, dk, g, tile, interpret, precision),
         dkp,
     )
