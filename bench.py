@@ -97,7 +97,10 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
 
     # ---------------- inference (two-stage cached) ----------------
-    eval_bs = 1024
+    # 512 is the measured single-chip sweet spot (52.5k items/s fp32 vs
+    # 48.0k at 1024, 43.1k at 4096): smaller blocks pipeline better through
+    # the fused-kernel grid and the stage-2 gathers
+    eval_bs = 512
     scorer = CachedScorer(model, eval_bs)
     t0 = time.time()
     news_reps, c_n0 = scorer.cache_news(params, tables)
@@ -146,7 +149,7 @@ def main():
 
     per_batch = marginal_time(
         lambda n: run_eval_device(params, tables, news_reps, c_n0, pool, n),
-        8, 108, float,
+        16, 216, float,
     )
     items_per_s = eval_bs / per_batch
     log(f"stage2: {items_per_s:,.0f} items/s ({per_batch * 1e3:.2f} ms/batch of {eval_bs})")
@@ -158,7 +161,7 @@ def main():
     params16, reps16, c16 = bf(params), bf(news_reps), bf(c_n0)
     per_batch16 = marginal_time(
         lambda n: run_eval_device(params16, tables, reps16, c16, pool, n),
-        8, 108, float,
+        16, 216, float,
     )
     items16 = eval_bs / per_batch16
     log(f"stage2 bf16: {items16:,.0f} items/s ({per_batch16 * 1e3:.2f} ms/batch)")

@@ -64,6 +64,11 @@ VARIANTS = (
 # is what ships, so the fused kernel is on by default.
 _FUSED_LAYER_MIN_NODES = int(os.environ.get("DIGAT_FUSED_MIN_NODES", "0"))
 
+# Fused TRAIN-mode GAT layer (ops/pallas/gat_layer_train.py): measured
+# slower than the composed path on v5e (see the comment at the use site);
+# off unless explicitly requested.
+_FUSED_TRAIN_LAYER = os.environ.get("DIGAT_FUSED_TRAIN_LAYER", "0") == "1"
+
 
 class GraphStatic(NamedTuple):
     """Static (trace-time) configuration of a graph encoder."""
@@ -207,6 +212,41 @@ def _gat_layer(gat, i, st, rng, train, x, adj, query):
             gat["a"]["w"][i, :, 0],
         )
     r_in, r_alpha = jax.random.split(rng)
+    if (
+        train
+        and query is not None
+        and st.use_pallas
+        and st.dropout_rate > 0
+        and _FUSED_TRAIN_LAYER
+        and jax.default_backend() == "tpu"
+    ):
+        # whole training layer (dropout, projections, Eq.(8) scores, masked
+        # softmax, attention dropout, aggregation, residual) as one fused
+        # fwd+bwd kernel pair; the keep-masks are drawn here from exactly
+        # the streams the unfused path uses, so the math is identical.
+        # MEASURED SLOWER than the composed path on v5e (36.9 vs 22.1 ms
+        # graph-encoder fwd+bwd at B=320): the bwd recompute only fits the
+        # 16M scoped-VMEM limit at tiny batch tiles (TB=2 for the user
+        # graph), which serializes the MXU projections XLA otherwise runs
+        # at full batch. Kept behind DIGAT_FUSED_TRAIN_LAYER=1 for future
+        # hardware where the VMEM/latency balance differs; the composed
+        # path with the custom-VJP score kernel is the default.
+        from digat_tpu.ops.pallas.gat_layer_train import (
+            interactive_gat_layer_train,
+        )
+
+        B, G = x.shape[:2]
+        in_rate = st.dropout_rate / 2
+        m1 = jax.random.bernoulli(r_in, 1.0 - in_rate, x.shape)
+        m2 = jax.random.bernoulli(r_alpha, 1.0 - st.dropout_rate, (B, G, G))
+        return interactive_gat_layer_train(
+            x, adj, query, m1, m2,
+            gat["W"]["w"][i], gat["W"]["b"][i],
+            gat["ffn1"]["w"][i], gat["ffn2"]["w"][i],
+            gat["ffn3"]["w"][i], gat["ffn3"]["b"][i],
+            gat["a"]["w"][i, :, 0],
+            input_rate=in_rate, attn_rate=st.dropout_rate,
+        )
     x = L.dropout(r_in, x, st.dropout_rate / 2, train)
     h = L.stacked_linear(gat["W"], i, x)
     if query is not None:

@@ -25,6 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BATCH_TILE = 8
 
+# i-sweep unroll width; 1 restores the row-at-a-time sweep
+import os as _os
+
+UNROLL = max(int(_os.environ.get("DIGAT_GAT_UNROLL", "8")), 1)
+
 
 def _scores_kernel(k1_ref, k2_ref, k3_ref, a_ref, out_ref):
     """k1,k2: [TB,G,D]; k3: [TB,D]; a: [1,D]; out: [TB,G,G]."""
@@ -36,17 +41,26 @@ def _scores_kernel(k1_ref, k2_ref, k3_ref, a_ref, out_ref):
     base = k1_ref[:, :, :].astype(jnp.float32) + k3[:, None, :]  # [TB, G, D]
     a = a_ref[0, :].astype(jnp.float32)  # [D]
 
+    # i-sweep unrolled UNROLL center rows per step (same trick as
+    # gat_layer._layer_kernel: one [TB, IB, G, D] relu sweep amortizes loop
+    # and layout overhead; the VPU multiply-reduce accumulates in fp32 — a
+    # matvec gains nothing from the MXU)
+    IB = UNROLL
+
+    def block(i0, width):
+        rows = k2_ref[:, pl.ds(i0, width), :].astype(jnp.float32)
+        t = jax.nn.relu(base[:, None, :, :] + rows[:, :, None, :])
+        out_ref[:, pl.ds(i0, width), :] = jnp.sum(
+            t * a[None, None, None, :], axis=-1
+        ).astype(out_ref.dtype)
+
     def body(i, _):
-        row = k2_ref[:, i, :].astype(jnp.float32)  # [TB, D]
-        t = jax.nn.relu(base + row[:, None, :])  # [TB, G, D]
-        # VPU multiply-reduce accumulating in fp32: a matvec gains nothing
-        # from the MXU, and the reduce over D=400 needs fp32 accumulation.
-        out_ref[:, i, :] = jnp.sum(t * a[None, None, :], axis=-1).astype(
-            out_ref.dtype
-        )
+        block(i * IB, IB)
         return 0
 
-    jax.lax.fori_loop(0, G, body, 0)
+    jax.lax.fori_loop(0, G // IB, body, 0)
+    if G % IB:
+        block((G // IB) * IB, G % IB)
 
 
 def _scores_fwd_pallas(k1, k2, k3, a_vec, batch_tile: int):
@@ -95,35 +109,64 @@ def _bwd_kernel(k1_ref, k2_ref, k3_ref, a_ref, g_ref,
     ga[d]      = sum_bij g[b,i,j] relu(x)[b,i,j,d]   (per-tile partial)
     """
     G = k1_ref.shape[1]
-    k3 = k3_ref[:, :].astype(jnp.float32)
+    # k3/gk3/ga ride as [TB, 1, D] blocks so the batch tile can shrink below
+    # 8 (2-D (TB, D) blocks would violate the sublane-divisibility rule)
+    k3 = k3_ref[:, 0, :].astype(jnp.float32)
     base = k1_ref[:, :, :].astype(jnp.float32) + k3[:, None, :]  # [TB, G, D]
     a = a_ref[0, :].astype(jnp.float32)  # [D]
     gk1_ref[:, :, :] = jnp.zeros(gk1_ref.shape, gk1_ref.dtype)
-    gk3_ref[:, :] = jnp.zeros(gk3_ref.shape, gk3_ref.dtype)
-    ga_ref[:, :] = jnp.zeros(ga_ref.shape, ga_ref.dtype)
+    gk3_ref[:, :, :] = jnp.zeros(gk3_ref.shape, gk3_ref.dtype)
+    ga_ref[:, :, :] = jnp.zeros(ga_ref.shape, ga_ref.dtype)
 
-    def body(i, _):
-        row = k2_ref[:, i, :].astype(jnp.float32)
-        t = base + row[:, None, :]  # [TB, G, D]
+    # center-axis sweep unrolled; Mosaic requires dynamic sublane store
+    # offsets provably divisible by 8, so the width is 8 (or the aligned
+    # remainder), not a free knob
+    IB = 8 if UNROLL > 1 else 1
+
+    def block(i0, width):
+        rows = k2_ref[:, pl.ds(i0, width), :].astype(jnp.float32)
+        t = base[:, None, :, :] + rows[:, :, None, :]  # [TB, IB, G, D]
         relu_t = jax.nn.relu(t)
         m = (t > 0).astype(jnp.float32)
-        gi = g_ref[:, i, :]  # [TB, G]
-        w = gi[:, :, None] * m * a[None, None, :]  # [TB, G, D]
-        gk1_ref[:, :, :] += w
-        s = jnp.sum(w, axis=1)  # [TB, D]
-        gk2_ref[:, i, :] = s
-        gk3_ref[:, :] += s
-        ga_ref[0, :] = ga_ref[0, :] + jnp.sum(
-            (gi[:, :, None] * relu_t).astype(jnp.float32), axis=(0, 1)
+        gi = g_ref[:, pl.ds(i0, width), :]  # [TB, IB, G]
+        w = gi[:, :, :, None] * m * a[None, None, None, :]  # [TB, IB, G, D]
+        # middle-axis reductions statically unrolled: Mosaic cannot relayout
+        # a reduce over a non-minor dimension of these tiles
+        gk1_ref[:, :, :] += sum(w[:, d] for d in range(width))
+        s = jnp.sum(w, axis=2)  # [TB, IB, D] (j-axis reduce is supported)
+        gk2_ref[:, pl.ds(i0, width), :] = s
+        gk3_ref[:, 0, :] += sum(s[:, d] for d in range(width))
+        # (plain slice then broadcast: int-index mixed with None hits the
+        # unsupported >2D gather path in Mosaic)
+        def ga_term(d):
+            gi_d = gi[:, d, :]  # [TB, G]
+            return jnp.sum(
+                (gi_d[:, :, None] * relu_t[:, d]).astype(jnp.float32),
+                axis=(0, 1),
+            )
+
+        ga_ref[0, 0, :] = ga_ref[0, 0, :] + sum(
+            ga_term(d) for d in range(width)
         )
+
+    def body(i, _):
+        block(i * IB, IB)
         return 0
 
-    jax.lax.fori_loop(0, G, body, 0)
+    jax.lax.fori_loop(0, G // IB, body, 0)
+    if G % IB:
+        block((G // IB) * IB, G % IB)
 
 
 def _scores_bwd_pallas(k1, k2, k3, a_vec, g, batch_tile: int):
     B, G, D = k1.shape
     TB = batch_tile
+    # the unrolled sweep holds ~3 [TB, 8, G, D] fp32 temporaries on the
+    # VMEM stack; shrink the batch tile until they fit the 16M scoped limit
+    # (G=68 at TB=8 measures 18.2M -> TB=4)
+    if UNROLL > 1:
+        while TB > 1 and TB * 8 * G * D * 4 * 3 > 14_000_000:
+            TB //= 2
     pad = (-B) % TB
     if pad:
         k1 = jnp.pad(k1, ((0, pad), (0, 0), (0, 0)))
@@ -132,29 +175,30 @@ def _scores_bwd_pallas(k1, k2, k3, a_vec, g, batch_tile: int):
         g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
     Bp = B + pad
     bgd = pl.BlockSpec((TB, G, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-    bd = pl.BlockSpec((TB, D), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    b1d = pl.BlockSpec((TB, 1, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     gk1, gk2, gk3, ga_t = pl.pallas_call(
         _bwd_kernel,
         grid=(Bp // TB,),
         in_specs=[
-            bgd, bgd, bd,
+            bgd, bgd, b1d,
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, G, G), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(bgd, bgd, bd, bd),
+        out_specs=(bgd, bgd, b1d, b1d),
         out_shape=(
             jax.ShapeDtypeStruct((Bp, G, D), jnp.float32),
             jax.ShapeDtypeStruct((Bp, G, D), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, D), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, D), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1, D), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=6 * Bp * G * G * D,
             bytes_accessed=(4 * Bp * G * D + Bp * G * G + D) * 4,
             transcendentals=0,
         ),
-    )(k1, k2, k3, a_vec[None, :], g)
-    ga = jnp.sum(ga_t, axis=0)
+    )(k1, k2, k3[:, None, :], a_vec[None, :], g)
+    gk3 = gk3[:, 0, :]
+    ga = jnp.sum(ga_t, axis=(0, 1))
     if pad:
         gk1, gk2, gk3 = gk1[:B], gk2[:B], gk3[:B]
     return gk1, gk2, gk3, ga

@@ -347,3 +347,60 @@ def test_emb_grad_sorted_rowsum(tpu):
     dk, ds = grads(table, g, tok_j, meta)
     scale = float(jnp.abs(ds).max())
     assert float(jnp.abs(dk - ds).max()) / scale < 1e-5
+
+
+def test_gat_layer_train_fused(tpu):
+    """Fused training GAT layer (fwd+bwd) vs the XLA composition at the
+    production user-graph shape, including dropout-mask equivalence."""
+    import jax
+    import jax.numpy as jnp
+
+    from digat_tpu.ops.pallas.gat_layer_train import (
+        _layer_xla, interactive_gat_layer_train)
+
+    rng = np.random.default_rng(11)
+    for B, G, D in [(40, 68, 400), (40, 26, 400), (13, 26, 400)]:
+        x = jnp.asarray(rng.standard_normal((B, G, D)) * 0.3, jnp.float32)
+        adj = jnp.asarray((rng.random((B, G, G)) < 0.3) | np.eye(G, dtype=bool))
+        q = jnp.asarray(rng.standard_normal((B, D)) * 0.3, jnp.float32)
+        m1 = jnp.asarray(rng.random((B, G, D)) < 0.9)
+        m2 = jnp.asarray(rng.random((B, G, G)) < 0.8)
+        W, W1, W2, W3 = (
+            jnp.asarray(rng.standard_normal((D, D)) * 0.05, jnp.float32)
+            for _ in range(4)
+        )
+        bW, b3, a = (
+            jnp.asarray(rng.standard_normal(D) * 0.05, jnp.float32)
+            for _ in range(3)
+        )
+        cv = jnp.asarray(rng.standard_normal((B, G, D)) * 0.1, jnp.float32)
+
+        @jax.jit
+        def both(x, q, W, bW, W1, W2, W3, b3, a):
+            args = (x, adj, q, m1, m2, W, bW, W1, W2, W3, b3, a)
+            lf = lambda *a_: jnp.sum(
+                interactive_gat_layer_train(
+                    a_[0], adj, a_[1], m1, m2, *a_[2:],
+                    input_rate=0.1, attn_rate=0.2,
+                ) * cv
+            )
+            lx = lambda *a_: jnp.sum(
+                _layer_xla(a_[0], adj, a_[1], m1, m2, *a_[2:],
+                           scale1=1 / 0.9, scale2=1 / 0.8, slope=0.2) * cv
+            )
+            wrt = (x, q, W, bW, W1, W2, W3, b3, a)
+            of = interactive_gat_layer_train(
+                *args, input_rate=0.1, attn_rate=0.2)
+            ox = _layer_xla(*args, 1 / 0.9, 1 / 0.8, 0.2)
+            gf = jax.grad(lambda t: lf(*t))(wrt)
+            gx = jax.grad(lambda t: lx(*t))(wrt)
+            return of, ox, gf, gx
+
+        of, ox, gf, gx = both(x, q, W, bW, W1, W2, W3, b3, a)
+        rel = float(jnp.abs(of - ox).max()) / float(jnp.abs(ox).max())
+        assert rel < 5e-3, (B, G, rel)
+        for a_, b_ in zip(gf, gx):
+            scale = float(jnp.abs(b_).max()) + 1e-6
+            # both sides run DEFAULT-precision MXU products in different
+            # associations; ~1e-3 relative is reassociation noise
+            assert float(jnp.abs(a_ - b_).max()) / scale < 5e-3
