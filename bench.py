@@ -267,6 +267,69 @@ def main():
     train16 = B / per_step16
     log(f"train bf16: {train16:,.0f} samples/s ({per_step16 * 1e3:.2f} ms/step)")
 
+    # ------------- large-batch training step (production scale) -------------
+    # the reference trains at B=64 (config.py:31) — that stays the parity
+    # number above; this measures the same step at B=256 to show the
+    # single-chip throughput ceiling when batch size is free to grow
+    B_big = 256
+    big_batches = []
+    for s in range(2):
+        r = np.random.default_rng(100 + s)
+        cat = r.integers(0, cfg.category_num + 1, (B_big, H)).astype(np.int32)
+        big_batches.append(TrainBatch(
+            history_idx=jnp.asarray(r.integers(0, news_num, (B_big, H)), jnp.int32),
+            cat_idx=jnp.asarray(cat),
+            sample_idx=jnp.asarray(r.integers(0, news_num, (B_big, 1 + K)), jnp.int32),
+            weight=jnp.ones((B_big,), jnp.float32),
+        ))
+    ucount_big = max(
+        len(np.unique(np.concatenate([
+            node_np[np.asarray(b.sample_idx)].ravel(),
+            np.asarray(b.history_idx).ravel(),
+        ])))
+        for b in big_batches
+    )
+    cap_big = int(np.ceil(ucount_big * 1.1 / 256.0) * 256)
+    bpool = jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack(xs)),
+        *[
+            dedup_batch(
+                b, tables.news_node_id, cap_big,
+                news_title_text=np.asarray(tables.news_title_text)
+                if on_tpu else None,
+                vocab_size=cfg.vocabulary_size if on_tpu else 0,
+            )
+            for b in big_batches
+        ],
+    )
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def run_train_big(params, opt_state, tables, n):
+        def body(i, carry):
+            p, o, _ = carry
+            b = jax.tree.map(lambda x: x[i % 2], bpool)
+            loss, grads = jax.value_and_grad(model.loss)(
+                p, tables, b, jax.random.fold_in(jax.random.PRNGKey(0), i)
+            )
+            updates, o = tx.update(grads, o, p)
+            updates = jax.tree.map(lambda u: -1e-4 * u, updates)
+            import optax
+
+            return optax.apply_updates(p, updates), o, loss
+
+        _, _, loss = jax.lax.fori_loop(
+            0, n, body, (params, opt_state, jnp.float32(0.0))
+        )
+        return loss
+
+    per_step_big = marginal_time(
+        lambda n: run_train_big(params, opt_state, tables, n),
+        2, 22, lambda o: float(o),
+    )
+    train_big = B_big / per_step_big
+    log(f"train B={B_big}: {train_big:,.0f} samples/s "
+        f"({per_step_big * 1e3:.2f} ms/step, capacity {cap_big})")
+
     baseline_items_per_s = 4500.0  # RTX 3090 fp32, reference README.md:64
     print(
         json.dumps(
@@ -278,6 +341,7 @@ def main():
                 "extra": {
                     "train_samples_per_s": round(train_samples_per_s, 1),
                     "train_samples_per_s_bf16": round(train16, 1),
+                    "train_samples_per_s_b256": round(train_big, 1),
                     "inference_items_per_s_bf16": round(items16, 1),
                     "stage1_cache_s": round(stage1_s, 2),
                     "backend": backend,
