@@ -70,7 +70,20 @@ def encode(params, st: NewsStatic, rng, train: bool, title_text, title_mask,
         w = embedding_lookup(params["word_embedding"], title_text, emb_meta)
     else:
         w = params["word_embedding"][title_text]  # [..., L, word_dim]
-    w = L.dropout(r_emb, w, st.dropout_rate, train)
+    # the fused MSA path applies the word-embedding dropout inside the
+    # kernel (on-core PRNG; the mask never round-trips HBM) — skip the XLA
+    # dropout there and pass the rate + a seed derived from the same key
+    fused_msa = False
+    if (st.encoder != "CNN" and st.use_pallas
+            and jax.default_backend() == "tpu"):
+        from digat_tpu.ops.pallas.msa_attention_grouped import group_size
+
+        fused_msa = group_size(
+            st.msa_heads, st.max_title_length, st.dim // st.msa_heads
+        ) > 0
+    fused_drop = fused_msa and train and st.dropout_rate > 0.0
+    if not fused_drop:
+        w = L.dropout(r_emb, w, st.dropout_rate, train)
     lead = w.shape[:-2]
     w2 = w.reshape((-1, st.max_title_length, st.word_dim))
     mask2 = title_mask.reshape((-1, st.max_title_length))
@@ -81,24 +94,29 @@ def encode(params, st: NewsStatic, rng, train: bool, title_text, title_mask,
         return pooled.reshape(*lead, st.dim)
     cd = jnp.bfloat16 if st.compute_dtype == "bfloat16" else None
     dv = st.dim // st.msa_heads
-    if st.use_pallas and jax.default_backend() == "tpu":
-        from digat_tpu.ops.pallas.msa_attention_grouped import (
-            group_size, unpad_heads)
+    if fused_msa:
+        from digat_tpu.ops.pallas.msa_attention_grouped import unpad_heads
 
-        if group_size(st.msa_heads, st.max_title_length, dv) > 0:
-            # whole post-embedding pipeline (projections, attention, relu,
-            # masked pool) as one fused VMEM-resident kernel
-            from digat_tpu.ops.pallas.msa_encoder import msa_encoder_pooled
+        # whole post-embedding pipeline (dropout, projections, attention,
+        # relu, masked pool) as one fused VMEM-resident kernel
+        from digat_tpu.ops.pallas.msa_encoder import msa_encoder_pooled
 
-            # train: DEFAULT-precision attention products (the unfused XLA
-            # fp32 path's accuracy class, 1.5x faster); eval: auto (exact
-            # fp32 class) so cached representations don't drift
-            pooled, _ = msa_encoder_pooled(
-                w2, mask2, params["msa"], params["pool"], st.msa_heads, dv,
-                precision="default" if train else "auto",
+        seed = None
+        if fused_drop:
+            seed = jax.random.randint(
+                r_emb, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
             )
-            pooled = unpad_heads(pooled, st.msa_heads, dv)
-            return pooled.reshape(*lead, st.dim)
+        # train: DEFAULT-precision attention products (the unfused XLA
+        # fp32 path's accuracy class, 1.5x faster); eval: auto (exact
+        # fp32 class) so cached representations don't drift
+        pooled, _ = msa_encoder_pooled(
+            w2, mask2, params["msa"], params["pool"], st.msa_heads, dv,
+            precision="default" if train else "auto",
+            dropout_rate=st.dropout_rate if fused_drop else 0.0,
+            dropout_seed=seed,
+        )
+        pooled = unpad_heads(pooled, st.msa_heads, dv)
+        return pooled.reshape(*lead, st.dim)
     h, dv_stride = L.mha(params["msa"], w2, st.msa_heads, compute_dtype=cd,
                          use_pallas=st.use_pallas, return_padded=True)
     h = jax.nn.relu(h)

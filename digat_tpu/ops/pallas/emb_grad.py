@@ -52,19 +52,28 @@ DEFAULT_TILE = 128
 class EmbGradMeta(NamedTuple):
     """Per-batch host-computed sort metadata (all int32).
 
-    perm:     [Ntok_p]        token-slot permutation into sorted-id order
-                              (pad slots point past Ntok, into zero rows)
+    perm:     [Ntok_p]        token-slot permutation into sorted-id order.
+                              Pad slots (sorted past Ntok) are clamped to 0:
+                              their sorted id is the sentinel, whose one-hot
+                              row is all-zero, so the gathered row value is
+                              irrelevant — no zero-padding of the gradient
+                              rows is ever materialized.
     sid:      [Nchunks+1, C]  sorted token ids by chunk; the last chunk is
                               an all-sentinel (= V_pad) row used by no-op
                               work items
     wt_tile:  [W]             output table-tile index per work item
-    wt_chunk: [W]             sorted-chunk index per work item
+    wt_chunk: [W]             sorted-chunk index per work item (sid lookup)
+    wt_gp:    [W]             gradient-chunk index per work item — equals
+                              wt_chunk except sentinel items read chunk 0
+                              (any valid block; the sentinel sid row zeroes
+                              the contribution)
     """
 
     perm: np.ndarray
     sid: np.ndarray
     wt_tile: np.ndarray
     wt_chunk: np.ndarray
+    wt_gp: np.ndarray
 
 
 def meta_shape(ntok: int, vocab_size: int, chunk: int = DEFAULT_CHUNK,
@@ -119,11 +128,14 @@ def build_sorted_emb_meta(tok: np.ndarray, vocab_size: int,
         w += 1
         next_tile += 1
     assert w <= W, (w, W)
-    return EmbGradMeta(perm=perm, sid=sid, wt_tile=wt_tile, wt_chunk=wt_chunk)
+    perm = np.where(perm < ntok, perm, 0).astype(np.int32)
+    wt_gp = np.where(wt_chunk == sent, 0, wt_chunk).astype(np.int32)
+    return EmbGradMeta(perm=perm, sid=sid, wt_tile=wt_tile, wt_chunk=wt_chunk,
+                       wt_gp=wt_gp)
 
 
-def _rowsum_kernel(tile_rows, wt_tile_ref, wt_chunk_ref, gp_ref, sid_ref,
-                   out_ref):
+def _rowsum_kernel(tile_rows, wt_tile_ref, wt_chunk_ref, wt_gp_ref, gp_ref,
+                   sid_ref, out_ref):
     w = pl.program_id(0)
     t = wt_tile_ref[w]
     first = jnp.logical_or(w == 0, t != wt_tile_ref[jnp.maximum(w - 1, 0)])
@@ -148,29 +160,30 @@ def _rowsum_kernel(tile_rows, wt_tile_ref, wt_chunk_ref, gp_ref, sid_ref,
         out_ref[:, :] += contrib
 
 
-def sorted_rowsum(gp, sid, wt_tile, wt_chunk, vocab_size: int,
+def sorted_rowsum(gp, sid, wt_tile, wt_chunk, wt_gp, vocab_size: int,
                   tile: int = DEFAULT_TILE, interpret: bool = False):
     """gp: [Ntok_p, D] gradient rows in sorted-id order; sid/wt_*: from
-    build_sorted_emb_meta. Returns [vocab_size, D] fp32 row sums."""
+    build_sorted_emb_meta. Returns [vocab_size, D] fp32 row sums.
+
+    Sentinel work items (tiles with no tokens) read gp chunk 0 via wt_gp —
+    the sentinel sid row zeroes their one-hot, so no zero chunk is ever
+    appended to gp (the old pad copied the whole gradient array once)."""
     ntok_p, D = gp.shape
     nchunks_p, C = sid.shape
     ntiles = -(-vocab_size // tile)
     W = wt_tile.shape[0]
-    # sentinel work items address gp chunk Nchunks: append one zero chunk
-    # (its one-hot is all-zero anyway; the block read just has to be valid)
-    gp = jnp.concatenate([gp, jnp.zeros((C, D), gp.dtype)])
     out = pl.pallas_call(
         functools.partial(_rowsum_kernel, tile),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(W,),
             in_specs=[
-                pl.BlockSpec((C, D), lambda w, tt, tc: (tc[w], 0),
+                pl.BlockSpec((C, D), lambda w, tt, tc, tg: (tg[w], 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, C), lambda w, tt, tc: (tc[w] // 8, 0),
+                pl.BlockSpec((8, C), lambda w, tt, tc, tg: (tc[w] // 8, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((tile, D), lambda w, tt, tc: (tt[w], 0),
+            out_specs=pl.BlockSpec((tile, D), lambda w, tt, tc, tg: (tt[w], 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((ntiles * tile, D), jnp.float32),
@@ -180,7 +193,7 @@ def sorted_rowsum(gp, sid, wt_tile, wt_chunk, vocab_size: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(wt_tile, wt_chunk, gp, sid)
+    )(wt_tile, wt_chunk, wt_gp, gp, sid)
     return out[:vocab_size]
 
 
@@ -189,29 +202,30 @@ def sorted_rowsum(gp, sid, wt_tile, wt_chunk, vocab_size: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _lookup(table, tok, perm, sid, wt_tile, wt_chunk, tile, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _lookup(table, tok, perm, sid, wt_tile, wt_chunk, wt_gp, tile, interpret):
     return table[tok]
 
 
-def _lookup_fwd(table, tok, perm, sid, wt_tile, wt_chunk, tile, interpret):
-    return table[tok], (tok, perm, sid, wt_tile, wt_chunk, table.shape[0])
+def _lookup_fwd(table, tok, perm, sid, wt_tile, wt_chunk, wt_gp, tile,
+                interpret):
+    return table[tok], (tok, perm, sid, wt_tile, wt_chunk, wt_gp,
+                        table.shape[0])
 
 
 def _lookup_bwd(tile, interpret, res, g):
-    tok, perm, sid, wt_tile, wt_chunk, V = res
+    tok, perm, sid, wt_tile, wt_chunk, wt_gp, V = res
     D = g.shape[-1]
     g2 = g.reshape(-1, D).astype(jnp.float32)
     if jax.default_backend() == "tpu" or interpret:
-        ntok_p = perm.shape[0]
-        pad = ntok_p - g2.shape[0]
-        gz = jnp.concatenate([g2, jnp.zeros((pad, D), jnp.float32)]) if pad \
-            else g2
-        gp = gz[perm]  # sorted-order rows (pads land at the tail: zero rows)
-        dW = sorted_rowsum(gp, sid, wt_tile, wt_chunk, V, tile, interpret)
+        # perm entries are clamped into [0, Ntok): pad slots gather row 0,
+        # whose contribution the sentinel sid zeroes — no pad copy needed
+        gp = g2[perm]  # [Ntok_p, D] rows in sorted-id order
+        dW = sorted_rowsum(gp, sid, wt_tile, wt_chunk, wt_gp, V, tile,
+                           interpret)
     else:  # CPU/GPU: plain scatter-add (same math)
         dW = jnp.zeros((V, D), jnp.float32).at[tok.ravel()].add(g2)
-    return (dW, None, None, None, None, None)
+    return (dW, None, None, None, None, None, None)
 
 
 _lookup.defvjp(_lookup_fwd, _lookup_bwd)
@@ -224,4 +238,4 @@ def embedding_lookup(table, tok, meta: EmbGradMeta | None,
     if meta is None:
         return table[tok]
     return _lookup(table, tok, meta.perm, meta.sid, meta.wt_tile,
-                   meta.wt_chunk, tile, interpret)
+                   meta.wt_chunk, meta.wt_gp, tile, interpret)

@@ -37,6 +37,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -53,6 +54,53 @@ from digat_tpu.ops.pallas.msa_attention_grouped import (
     group_size,
     pad_head_projection,
 )
+
+
+def _keep_mask(seed_ref, tile, L, Din, rate):
+    """Inverted-dropout keep mask [tile*L, Din] from the on-core PRNG.
+
+    Bits are generated in 8-title sub-blocks seeded by (seed, absolute
+    title offset), so the mask for a given title is invariant to the tile
+    size — the forward (tile 32) and backward (tile 16) kernels regenerate
+    identical masks without ever materializing them in HBM. Replaces the
+    XLA dropout on the embedded titles, whose rng-bit-generator + relayout
+    copy + select/multiply fusions cost ~7 ms/step at training shapes."""
+    # bits are int32: shift the uint threshold into the signed domain so
+    # P(bits >= thresh) = 1 - rate over the full two's-complement range
+    thresh = np.int32(min(int(rate * 2**32), 2**32 - 1) - 2**31)
+    base = pl.program_id(0) * tile
+    parts = []
+    for j in range(tile // 8):
+        pltpu.prng_seed(seed_ref[0], base + j * 8)
+        parts.append(pltpu.prng_random_bits((8 * L, Din)))
+    bits = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return bits >= thresh
+
+
+def _apply_drop(x2, keep, rate):
+    return jnp.where(keep, x2 * (1.0 / (1.0 - rate)), 0.0)
+
+
+def dropout_keep_mask(seed, n, L, Din, rate, interpret: bool = False):
+    """Materialize the exact keep mask the fused encoder generates for
+    titles [0, n) (test/debug helper — production never materializes it).
+    seed: [1] int32. Returns [n, L, Din] bool."""
+    n8 = -(-n // 8) * 8
+
+    def kern(seed_ref, o_ref):
+        o_ref[:, :] = _keep_mask(seed_ref, 8, L, Din, rate)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(n8 // 8,),
+        in_specs=[pl.BlockSpec((1,), lambda i: (0,),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((8 * L, Din), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n8 * L, Din), jnp.bool_),
+        interpret=interpret,
+    )(seed)
+    return out.reshape(n8, L, Din)[:n]
 
 
 def _proj(x2, w_ref, sl, b_ref):
@@ -92,12 +140,14 @@ def _attn_fwd(qg, kg, vg, g, dkp, L, scale, bseg, att_prec):
     return a, _dot(a, vexp, att_prec)  # a, og [TN, L, GD]
 
 
-def _fwd_kernel(G, g, L, dkp, A, Din, scale, att_prec, *refs):
+def _fwd_kernel(G, g, L, dkp, A, Din, scale, att_prec, rate, *refs):
     (x_ref, m_ref, wq_ref, bq_ref, wk_ref, wv_ref, bv_ref, w1_ref, b1_ref,
-     vv_ref, bseg_ref, o_ref, h_ref) = refs
+     vv_ref, bseg_ref, seed_ref, o_ref, h_ref) = refs
     TN = x_ref.shape[0]
     GD = g * dkp
     x2 = x_ref[:, :, :].astype(jnp.float32).reshape(TN * L, Din)
+    if rate > 0.0:
+        x2 = _apply_drop(x2, _keep_mask(seed_ref, TN, L, Din, rate), rate)
     bseg = bseg_ref[:, :]
     for grp in range(G):
         sl = slice(grp * GD, (grp + 1) * GD)
@@ -113,9 +163,9 @@ def _fwd_kernel(G, g, L, dkp, A, Din, scale, att_prec, *refs):
     o_ref[:, :] = jnp.sum(alpha[:, :, None] * h, axis=1).astype(o_ref.dtype)
 
 
-def _bwd_kernel(G, g, L, dkp, A, Din, scale, att_prec, *refs):
+def _bwd_kernel(G, g, L, dkp, A, Din, scale, att_prec, rate, *refs):
     (x_ref, m_ref, wq_ref, bq_ref, wk_ref, wv_ref, bv_ref, w1_ref, b1_ref,
-     vv_ref, bseg_ref, dp_ref,
+     vv_ref, bseg_ref, seed_ref, dp_ref,
      dx_ref, dwq_ref, dbq_ref, dwk_ref, dwv_ref, dbv_ref, dw1_ref, db1_ref,
      dvv_ref, h_ref, qkv_ref, att_ref) = refs
     TN = x_ref.shape[0]
@@ -135,6 +185,9 @@ def _bwd_kernel(G, g, L, dkp, A, Din, scale, att_prec, *refs):
         dvv_ref[:, :] = jnp.zeros_like(dvv_ref)
 
     x2 = x_ref[:, :, :].astype(jnp.float32).reshape(TN * L, Din)
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref, TN, L, Din, rate)
+        x2 = _apply_drop(x2, keep, rate)
     bseg = bseg_ref[:, :]
 
     # ---- recompute forward, stashing q/k/v and attention probs ----
@@ -228,25 +281,35 @@ def _bwd_kernel(G, g, L, dkp, A, Din, scale, att_prec, *refs):
             if db_ref is not None:
                 db_ref[0, sl] += jnp.sum(dg2, axis=0)
 
+    if rate > 0.0:
+        # chain through the in-kernel dropout: d x_d / d x = keep / (1 - p)
+        dx2 = _apply_drop(dx2, keep, rate)
     dx_ref[:, :, :] = dx2.reshape(TN, L, Din).astype(dx_ref.dtype)
 
 
-def _vmem_tile(L, Din, Dp, A, g, is_bwd, budget=11 * 1024 * 1024):
-    """Largest power-of-two title tile whose per-tile buffers fit (x/h/dx
+def _vmem_tile(L, Din, Dp, A, g, is_bwd):
+    """Largest title tile (multiple of 8) whose per-tile buffers fit (x/h/dx
     blocks, attention expansion temporaries [*, 128, g*L], weight (+grad)
-    blocks)."""
+    blocks). The backward budget is calibrated against the v5e 16 MB scoped
+    VMEM limit (tile 16 compiles at the training shapes, tile 24 does not);
+    the forward keeps a conservative budget since its per-title footprint
+    estimate is less exact (tile 64 overflows by ~3%)."""
     gL = g * L
     per_title = (L * (Din + Dp) + (128 * gL + L * gL) * 2) * 4
     fixed = (3 * Din * Dp + Dp * A) * 4
+    budget = 11 * 1024 * 1024
     if is_bwd:
         per_title += (L * (Din + 3 * Dp + Dp + A) + 128 * gL) * 4
         fixed *= 2
+        budget = 15_400_000
     t = max((budget - fixed) // per_title, 8)
-    return 1 << (int(t).bit_length() - 1)
+    if not is_bwd:
+        return 1 << (int(t).bit_length() - 1)
+    return max(int(t) // 8 * 8, 8)
 
 
-def _call(is_bwd, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, dp,
-          heads, dk, g, tile, interpret, prec="auto"):
+def _call(is_bwd, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, seed, dp,
+          heads, dk, g, tile, interpret, prec="auto", rate=0.0):
     N, L, Din = x.shape
     Dp = wq.shape[1]
     dkp = Dp // heads
@@ -281,8 +344,11 @@ def _call(is_bwd, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, dp,
     bq2, bv2, b12, vv2 = (t.reshape(1, -1) for t in (bq, bv, b1, vv))
     weights = [wq, bq2, wk, wv, bv2, w1, b12, vv2, bseg]
 
-    ins = [x_p, mask_p] + weights
-    specs = [xspec, mspec] + [full(a) for a in weights]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed_spec = pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
+    ins = [x_p, mask_p] + weights + [seed]
+    specs = [xspec, mspec] + [full(a) for a in weights] + [seed_spec]
     kernel = _bwd_kernel if is_bwd else _fwd_kernel
     f32 = jnp.float32
     flops_mm = 2 * npad * L * Din * 3 * Dp + 2 * npad * L * Dp * A
@@ -312,7 +378,7 @@ def _call(is_bwd, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, dp,
         scratch = [pltpu.VMEM((tile, L, Dp), f32)]  # h
 
     out = pl.pallas_call(
-        functools.partial(kernel, G, g, L, dkp, A, Din, scale, att_prec),
+        functools.partial(kernel, G, g, L, dkp, A, Din, scale, att_prec, rate),
         grid=(npad // tile,),
         in_specs=specs,
         out_specs=out_specs,
@@ -329,29 +395,30 @@ def _call(is_bwd, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, dp,
     return out[:n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
-def _encoder(x, mask, wq, bq, wk, wv, bv, w1, b1, vv,
-             heads, dk, g, tile, interpret, prec):
-    return _call(False, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, None,
-                 heads, dk, g, tile, interpret, prec)
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(11, 12, 13, 14, 15, 16, 17))
+def _encoder(x, mask, wq, bq, wk, wv, bv, w1, b1, vv, seed,
+             heads, dk, g, tile, interpret, prec, rate):
+    return _call(False, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, seed, None,
+                 heads, dk, g, tile, interpret, prec, rate)
 
 
-def _encoder_fwd(x, mask, wq, bq, wk, wv, bv, w1, b1, vv,
-                 heads, dk, g, tile, interpret, prec):
-    out = _call(False, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, None,
-                heads, dk, g, tile, interpret, prec)
-    return out, (x, mask, wq, bq, wk, wv, bv, w1, b1, vv)
+def _encoder_fwd(x, mask, wq, bq, wk, wv, bv, w1, b1, vv, seed,
+                 heads, dk, g, tile, interpret, prec, rate):
+    out = _call(False, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, seed, None,
+                heads, dk, g, tile, interpret, prec, rate)
+    return out, (x, mask, wq, bq, wk, wv, bv, w1, b1, vv, seed)
 
 
-def _encoder_bwd(heads, dk, g, tile, interpret, prec, res, grad):
-    x, mask, wq, bq, wk, wv, bv, w1, b1, vv = res
-    outs = _call(True, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, grad,
-                 heads, dk, g, tile, interpret, prec)
+def _encoder_bwd(heads, dk, g, tile, interpret, prec, rate, res, grad):
+    x, mask, wq, bq, wk, wv, bv, w1, b1, vv, seed = res
+    outs = _call(True, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, seed, grad,
+                 heads, dk, g, tile, interpret, prec, rate)
     dx, dwq, dbq, dwk, dwv, dbv, dw1, db1, dvv = outs
     cast = lambda gk, p: gk.astype(p.dtype)
     return (dx, None, cast(dwq, wq), cast(dbq, bq), cast(dwk, wk),
             cast(dwv, wv), cast(dbv, bv), cast(dw1, w1), cast(db1, b1),
-            cast(dvv, vv))
+            cast(dvv, vv), None)
 
 
 _encoder.defvjp(_encoder_fwd, _encoder_bwd)
@@ -376,8 +443,9 @@ def _encoder_xla(x, mask, wq, bq, wk, wv, bv, w1, b1, vv, heads, dk):
 
 def msa_encoder_pooled(x, mask, msa_params, pool_params, heads: int, dk: int,
                        tile: int = 0, interpret: bool = False,
-                       precision: str = "auto"):
-    """Fused MSA encoder on post-dropout word embeddings.
+                       precision: str = "auto", dropout_rate: float = 0.0,
+                       dropout_seed=None):
+    """Fused MSA encoder on embedded titles (optionally with fused dropout).
 
     x: [N, L, Din] (fp32 or bf16), mask: [N, L] bool title mask.
     msa_params / pool_params: the unfused parameter dicts (layers.mha_init /
@@ -392,6 +460,13 @@ def msa_encoder_pooled(x, mask, msa_params, pool_params, heads: int, dk: int,
     attention lowering (1.4e-2 abs vs float64) and 1.5x faster fwd+bwd
     (60.5 -> 39.9 ms at the 10k-title training shapes); eval keeps "auto"
     so cached representations stay at exact-fp32 class.
+
+    `dropout_rate` > 0 applies inverted dropout to x *inside* the kernel
+    using the on-core PRNG seeded by (`dropout_seed` [1] int32, absolute
+    title offset): the mask never touches HBM, and the backward regenerates
+    it bit-exactly (replaces the reference's word-embedding dropout,
+    newsEncoders.py:23-25, semantically — Bernoulli(rate) per element, a
+    different random stream). TPU/interpret path only.
     """
     N, L, Din = x.shape
     g = group_size(heads, L, dk)
@@ -414,12 +489,14 @@ def msa_encoder_pooled(x, mask, msa_params, pool_params, heads: int, dk: int,
     b1 = pool_params["affine1"]["b"]
     vv = pool_params["affine2"]["w"][:, 0]  # [A]
     if jax.default_backend() != "tpu" and not interpret:
+        assert dropout_rate == 0.0, "fused dropout requires the TPU kernel"
         return (
             _encoder_xla(x, mask, wq, bq, wk, wv, bv, w1p, b1, vv, heads, dk),
             dkp,
         )
     return (
         _encoder(x, mask.astype(jnp.bool_), wq, bq, wk, wv, bv, w1p, b1, vv,
-                 heads, dk, g, tile, interpret, precision),
+                 dropout_seed, heads, dk, g, tile, interpret, precision,
+                 float(dropout_rate)),
         dkp,
     )

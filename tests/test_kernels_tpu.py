@@ -404,3 +404,56 @@ def test_gat_layer_train_fused(tpu):
             # both sides run DEFAULT-precision MXU products in different
             # associations; ~1e-3 relative is reassociation noise
             assert float(jnp.abs(a_ - b_).max()) / scale < 5e-3
+
+
+def test_msa_encoder_fused_dropout(tpu):
+    """In-kernel dropout (on-core PRNG) of the fused MSA encoder:
+    deterministic given a seed, keep rate == 1 - p, and both forward and
+    backward apply the exact mask that `dropout_keep_mask` reproduces —
+    fused(x, rate, seed) must equal fused(mask*x/keep, rate=0) in value
+    and in input gradient (chain-ruled through the mask)."""
+    import jax
+    import jax.numpy as jnp
+
+    from digat_tpu import layers as L
+    from digat_tpu.ops.pallas.msa_encoder import (
+        dropout_keep_mask, msa_encoder_pooled)
+
+    heads, dk, Lt, Din, A = 16, 25, 32, 300, 256
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    msa = L.mha_init(ks[0], heads, Din, dk, dk)
+    pool = L.attn_pool_init(ks[1], heads * dk, A)
+    n = 256
+    x = jax.random.normal(ks[2], (n, Lt, Din))
+    mask = jax.random.uniform(ks[3], (n, Lt)) < 0.8
+    seed = jnp.asarray([987], jnp.int32)
+    R = jax.random.normal(ks[4], (n, 512))
+    rate = 0.2
+
+    keep = dropout_keep_mask(seed, n, Lt, Din, rate)
+    frac = float(jnp.mean(~keep))
+    assert abs(frac - rate) < 0.002, frac
+
+    def loss_fused(x):
+        out, _ = msa_encoder_pooled(
+            x, mask, msa, pool, heads, dk, precision="default",
+            dropout_rate=rate, dropout_seed=seed)
+        return jnp.sum(out * R)
+
+    def loss_pre(x):
+        xd = jnp.where(keep, x / (1.0 - rate), 0.0)
+        out, _ = msa_encoder_pooled(
+            xd, mask, msa, pool, heads, dk, precision="default")
+        return jnp.sum(out * R)
+
+    l0 = float(jax.jit(loss_fused)(x))
+    assert float(jax.jit(loss_fused)(x)) == l0  # deterministic
+    l1 = float(jax.jit(loss_pre)(x))
+    assert abs(l1 - l0) < 1e-4 * (abs(l0) + 1), (l0, l1)
+
+    gf = jax.jit(jax.grad(loss_fused))(x)
+    gp = jax.jit(jax.grad(loss_pre))(x)
+    scale = float(jnp.max(jnp.abs(gp))) + 1e-6
+    assert float(jnp.max(jnp.abs(gf - gp))) / scale < 1e-4
+    # dropped positions carry exactly zero gradient through the fused path
+    assert bool(jnp.all(jnp.where(~keep, gf == 0.0, True)))
