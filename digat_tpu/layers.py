@@ -100,11 +100,23 @@ def stacked_linear(params, i: int, x):
 
 
 def dropout(key, x, rate: float, train: bool):
-    """Inverted dropout. No-op when not training or rate == 0."""
+    """Inverted dropout. No-op when not training or rate == 0.
+
+    The mask is drawn on the 2D-flattened shape: XLA's TPU
+    rng-bit-generator picks a transposed layout for >2D outputs, which
+    inserts relayout copies of the bits before downstream fusions. The
+    2D draw yields the identical row-major bit stream (the reshape is a
+    bitcast) without those copies."""
     if not train or rate <= 0.0:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, keep, x.shape)
+    if x.ndim > 2:
+        import math
+
+        flat = (math.prod(x.shape[:-1]), x.shape[-1])
+    else:
+        flat = x.shape
+    mask = jax.random.bernoulli(key, keep, flat).reshape(x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
