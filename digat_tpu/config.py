@@ -80,6 +80,13 @@ class Config:
     # SAG
     SAG_hops: int = 2
     SAG_neighbors: int = 5
+    # Real-data quality path (reference: construct_SAG.py:97-99 uses a frozen
+    # all-mpnet-base-v2 SentenceTransformer for SAG mining; MIND_corpus.py:89-108
+    # initializes word embeddings from GloVe). Empty glove_path / 'hash'
+    # embedder fall back to deterministic hash embeddings (hermetic CI mode).
+    glove_path: str = ""  # GloVe .txt (word + floats per line); '' = pseudo-GloVe
+    sag_embedder: str = "hash"  # hash | sentence_transformer
+    sag_embedder_model: str = "sentence-transformers/all-mpnet-base-v2"
     # Model family: 'digat' (main experiment) or 'nrms' (Appendix-B SA
     # strategy on a sequence model)
     model_family: str = "digat"
@@ -157,6 +164,7 @@ class Config:
         if self.cnn_method == "group5":
             assert self.cnn_kernel_num % 5 == 0
         assert self.compute_dtype in ("float32", "bfloat16")
+        assert self.sag_embedder in ("hash", "sentence_transformer"), self.sag_embedder
         assert self.model_family in ("digat", "nrms")
         assert self.nrms_model in ("NRMS-SA", "NRMS")
         return self

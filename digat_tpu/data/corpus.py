@@ -36,17 +36,22 @@ def _paths(cfg: Config) -> Dict[str, str]:
     cache = os.path.join(cfg.data_root, f"{cfg.dataset}-cache")
     key_vocab = f"{cfg.word_threshold}-{cfg.max_title_length}"
     key_emb = f"{cfg.word_threshold}-{cfg.word_embedding_dim}-{cfg.max_title_length}"
+    if cfg.glove_path:
+        key_emb += "-glove"
     key_graph = f"{cfg.SAG_hops}-{cfg.SAG_neighbors}"
+    # embedder choice shapes the mined similarities, so it keys the graph
+    # artifacts (hash mode keeps the round-1 names for cache continuity)
+    key_embed = "" if cfg.sag_embedder == "hash" else f"-{cfg.sag_embedder}"
     return {
         "cache": cache,
         "dicts": os.path.join(cache, "dicts.json"),
         "vocab": os.path.join(cache, f"vocabulary-{key_vocab}.json"),
         "embedding": os.path.join(cache, f"word_embedding-{key_emb}.npy"),
         "news": os.path.join(cache, f"news-{key_vocab}.npz"),
-        "graph": os.path.join(cache, f"news_graph-{key_graph}.npz"),
+        "graph": os.path.join(cache, f"news_graph-{key_graph}{key_embed}.npz"),
         "behaviors": os.path.join(cache, f"behaviors-{cfg.max_history_num}.npz"),
         "augmented": os.path.join(
-            cache, f"augmented_news-{cfg.augmented_news_num}.npz"
+            cache, f"augmented_news-{cfg.augmented_news_num}{key_embed}.npz"
         ),
     }
 
@@ -131,7 +136,8 @@ def preprocess(cfg: Config, glove_path: Optional[str] = None, verbose: bool = Fa
     # ---- 3. word embedding ----
     if not os.path.exists(p["embedding"]):
         emb = tok.build_word_embedding(
-            vocab, cfg.word_embedding_dim, glove_path, seed=cfg.seed
+            vocab, cfg.word_embedding_dim, glove_path or cfg.glove_path or None,
+            seed=cfg.seed,
         )
         np.save(p["embedding"], emb)
 
@@ -175,7 +181,9 @@ def preprocess(cfg: Config, glove_path: Optional[str] = None, verbose: bool = Fa
                     rows_by_cat[cat].append((domain, news_id, title, abstract))
         node_id, graph, mask = sag_mod.construct_sag(
             rows_by_cat, news_dict, cfg.SAG_neighbors, cfg.SAG_hops,
-            cfg.news_graph_size, exclude_test_from_corpus=cfg.dataset != "MIND-large",
+            cfg.news_graph_size,
+            embedder=sag_mod.get_embedder(cfg.sag_embedder, cfg.sag_embedder_model),
+            exclude_test_from_corpus=cfg.dataset != "MIND-large",
             seed=cfg.seed,
         )
         # self-loops added at artifact build (reference adds them at load,
@@ -200,6 +208,7 @@ def preprocess(cfg: Config, glove_path: Optional[str] = None, verbose: bool = Fa
                     rows_by_cat[cat].append((domain, news_id, title, abstract))
         aug = sag_mod.construct_sa_sequence(
             rows_by_cat, news_dict, cfg.augmented_news_num,
+            embedder=sag_mod.get_embedder(cfg.sag_embedder, cfg.sag_embedder_model),
             exclude_test_from_corpus=cfg.dataset != "MIND-large",
             seed=cfg.seed,
         )

@@ -67,10 +67,14 @@ def hash_embedder(texts: Sequence[str], dim: int = 128) -> np.ndarray:
     return out
 
 
-def sentence_transformer_embedder(model_name: str = "sentence-transformers/all-mpnet-base-v2"):
-    """Returns an embedder backed by a pretrained sentence encoder; only
-    importable when the optional dependency is present."""
-    from sentence_transformers import SentenceTransformer  # pragma: no cover
+DEFAULT_ST_MODEL = "sentence-transformers/all-mpnet-base-v2"
+
+
+def sentence_transformer_embedder(model_name: str = DEFAULT_ST_MODEL):
+    """Returns an embedder backed by a pretrained sentence encoder (the
+    reference's frozen PLM, construct_SAG.py:97-99); only importable when
+    the optional dependency is present."""
+    from sentence_transformers import SentenceTransformer
 
     model = SentenceTransformer(model_name)
 
@@ -78,6 +82,26 @@ def sentence_transformer_embedder(model_name: str = "sentence-transformers/all-m
         return np.asarray(model.encode(list(texts)))
 
     return embed
+
+
+def get_embedder(name: str, model_name: str = DEFAULT_ST_MODEL):
+    """Embedder dispatch for the config knob ``sag_embedder``.
+
+    'hash' is the hermetic CI mode; 'sentence_transformer' reproduces the
+    reference's PLM mining. Raises ImportError with a clear message when the
+    optional dependency is missing rather than silently degrading quality."""
+    if name == "hash":
+        return hash_embedder
+    if name == "sentence_transformer":
+        try:
+            return sentence_transformer_embedder(model_name)
+        except ImportError as e:
+            raise ImportError(
+                f"sag_embedder='sentence_transformer' needs the "
+                f"sentence-transformers package (model {model_name}); "
+                f"install it or use sag_embedder='hash'"
+            ) from e
+    raise ValueError(f"unknown sag_embedder {name!r}")
 
 
 # ---------------------------------------------------------------------------
