@@ -43,7 +43,32 @@ def prepare(cfg: Config, glove_path: Optional[str] = None) -> corpus_lib.Corpus:
 
         prepare_lib.prepare(cfg.dataset, cfg.data_root, cfg.seed)
     corpus_lib.preprocess(cfg, glove_path=glove_path, verbose=True)
+    write_truth_files(cfg)
     return corpus_lib.Corpus(cfg)
+
+
+def write_truth_files(cfg: Config) -> None:
+    """Official-scorer ground truth under <run_root>/<split>/<dataset>/ref/
+    (reference config.py:119-135: dev always; test only when labeled —
+    MIND-large test labels live on the leaderboard). Process 0 only."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
+    from digat_tpu.eval import metrics as metrics_lib
+
+    for split in ("dev", "test"):
+        if cfg.dataset == "MIND-large" and split == "test":
+            continue
+        behaviors = os.path.join(
+            cfg.data_root, cfg.dataset, split, "behaviors.tsv"
+        )
+        ref_dir = os.path.join(cfg.run_root, split, cfg.dataset, "ref")
+        path = os.path.join(ref_dir, "truth.txt")
+        if os.path.exists(path) or not os.path.exists(behaviors):
+            continue
+        os.makedirs(ref_dir, exist_ok=True)
+        metrics_lib.write_truth_file(behaviors, path)
 
 
 def run_train(cfg: Config) -> None:

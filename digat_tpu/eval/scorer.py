@@ -235,12 +235,10 @@ def compute_scores(
         scores = np.asarray(
             multihost_utils.process_allgather(scores)
         ).sum(axis=0)
-    by_imp_scores = M.group_by_impression(imp_index, scores)
-    by_imp_labels = M.group_by_impression(imp_index, labels)
     if result_file:
-        M.write_rank_file(result_file, by_imp_scores)
+        M.write_rank_file(result_file, M.group_by_impression(imp_index, scores))
     if np.asarray(labels).sum() == 0:
         # unlabeled split (MIND-large test): rank file is the deliverable,
         # metrics come from the leaderboard (reference util.py:81-82)
         return (float("nan"),) * 4
-    return M.score_impressions(by_imp_labels, by_imp_scores)
+    return M.score_impressions_flat(imp_index, labels, scores)
