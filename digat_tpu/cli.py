@@ -33,17 +33,28 @@ def build_model(cfg: Config):
 
 
 def prepare(cfg: Config, glove_path: Optional[str] = None) -> corpus_lib.Corpus:
-    root = os.path.join(cfg.data_root, cfg.dataset)
-    if cfg.dataset == "synthetic":
-        if not os.path.exists(os.path.join(root, "train", "behaviors.tsv")):
-            print(f"[prepare] generating synthetic dataset under {root}")
-            synthetic.generate(root)
-    else:
-        from digat_tpu.data import prepare as prepare_lib
+    """Acquire + preprocess on process 0 only, then barrier so every
+    process loads the same finished artifacts (the reference runs its
+    whole preliminary_setup on rank 0, config.py:99, while other ranks
+    ride the 12h NCCL timeout)."""
+    import jax
 
-        prepare_lib.prepare(cfg.dataset, cfg.data_root, cfg.seed)
-    corpus_lib.preprocess(cfg, glove_path=glove_path, verbose=True)
-    write_truth_files(cfg)
+    if jax.process_index() == 0:
+        root = os.path.join(cfg.data_root, cfg.dataset)
+        if cfg.dataset == "synthetic":
+            if not os.path.exists(os.path.join(root, "train", "behaviors.tsv")):
+                print(f"[prepare] generating synthetic dataset under {root}")
+                synthetic.generate(root)
+        else:
+            from digat_tpu.data import prepare as prepare_lib
+
+            prepare_lib.prepare(cfg.dataset, cfg.data_root, cfg.seed)
+        corpus_lib.preprocess(cfg, glove_path=glove_path, verbose=True)
+        write_truth_files(cfg)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("digat_tpu.prepare")
     return corpus_lib.Corpus(cfg)
 
 
@@ -72,25 +83,54 @@ def write_truth_files(cfg: Config) -> None:
 
 
 def run_train(cfg: Config) -> None:
+    import jax
+    import numpy as np
+
     corpus = prepare(cfg)
     model = build_model(cfg)
     trainer = Trainer(model, cfg, corpus)
     params, _ = trainer.train()
-    # auto-test on the best checkpoint (main.py:59-62)
-    best = os.path.join(trainer.run_dir, "best.ckpt")
-    if os.path.exists(best):
-        raw_params, _, epoch = ckpt_lib.load(best, model.param_template(), None)
-        t0 = time.time()
-        auc, mrr, ndcg5, ndcg10 = compute_scores(
-            model, raw_params, corpus, "test",
-            result_file=os.path.join(trainer.run_dir, "test-prediction.txt"),
+    # auto-test on the best checkpoint (main.py:59-62). Only process 0 has
+    # the run dir, so the checkpoint decision and weights broadcast — every
+    # process must join the sharded test eval or the allgather deadlocks
+    # (the wart the reference has at trainer.py:171-172).
+    best = os.path.join(trainer.run_dir, "best.ckpt") if trainer.is_main else ""
+    have_best = trainer.is_main and os.path.exists(best)
+    multi = jax.process_count() > 1
+    if multi:
+        from jax.experimental import multihost_utils
+
+        have_best = bool(
+            multihost_utils.broadcast_one_to_all(np.asarray(have_best))
         )
-        print(f"[test] epoch {epoch}: AUC={auc:.4f} MRR={mrr:.4f} "
-              f"nDCG@5={ndcg5:.4f} nDCG@10={ndcg10:.4f} "
-              f"({time.time() - t0:.1f}s)")
-        res = os.path.join(trainer.results_dir, f"#{trainer.run_index}-test")
-        with open(res, "w") as f:
-            f.write(f"#{trainer.run_index}\t{auc}\t{mrr}\t{ndcg5}\t{ndcg10}\n")
+    if have_best:
+        if trainer.is_main:
+            raw_params, _, epoch = ckpt_lib.load(
+                best, model.param_template(), None
+            )
+        else:
+            raw_params = jax.tree.map(
+                lambda s: np.zeros(s.shape, s.dtype), model.param_template()
+            )
+            epoch = 0
+        if multi:
+            raw_params = multihost_utils.broadcast_one_to_all(raw_params)
+            epoch = int(multihost_utils.broadcast_one_to_all(np.asarray(epoch)))
+        t0 = time.time()
+        result_file = (
+            os.path.join(trainer.run_dir, "test-prediction.txt")
+            if trainer.is_main else None
+        )
+        auc, mrr, ndcg5, ndcg10 = compute_scores(
+            model, raw_params, corpus, "test", result_file=result_file
+        )
+        if trainer.is_main:
+            print(f"[test] epoch {epoch}: AUC={auc:.4f} MRR={mrr:.4f} "
+                  f"nDCG@5={ndcg5:.4f} nDCG@10={ndcg10:.4f} "
+                  f"({time.time() - t0:.1f}s)")
+            res = os.path.join(trainer.results_dir, f"#{trainer.run_index}-test")
+            with open(res, "w") as f:
+                f.write(f"#{trainer.run_index}\t{auc}\t{mrr}\t{ndcg5}\t{ndcg10}\n")
 
 
 def run_eval(cfg: Config, mode: str) -> None:
@@ -134,6 +174,15 @@ def apply_runtime_config(cfg: Config) -> None:
 
 def main(argv=None) -> None:
     cfg = Config.from_args(argv)
+    # multi-host bootstrap before any device use (reference config.py:89);
+    # no-op when single-process with no coordinator configured
+    from digat_tpu.parallel import mesh as mesh_lib
+
+    mesh_lib.initialize_distributed(
+        coordinator_address=cfg.coordinator_address or None,
+        num_processes=cfg.num_processes or None,
+        process_id=cfg.process_id if cfg.process_id >= 0 else None,
+    )
     apply_runtime_config(cfg)
     if cfg.mode == "train":
         run_train(cfg)

@@ -104,6 +104,12 @@ class Config:
     use_pallas: bool = True  # fused Eq.(8) kernel on TPU
     mesh_data: int = 0  # 0 = all available devices on the data axis
     mesh_model: int = 1  # model axis size (embedding row-sharding)
+    # Multi-host bootstrap (reference: dist.init_process_group,
+    # config.py:89). Empty/zero/-1 = auto-detect (TPU pod env vars) or
+    # single-process.
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
     eval_batch_size: int = 0  # 0 = batch_size * 16 (reference: trainer.py:114)
     run_root: str = "runs"
     run_index: int = 0

@@ -34,6 +34,17 @@ def _pad_to(x: np.ndarray, n: int):
     return np.pad(x, pad)
 
 
+def _host_value(x) -> np.ndarray:
+    """Full host value of a (possibly multi-process global) jax.Array."""
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    if x.sharding.is_fully_replicated:
+        return np.asarray(x.addressable_data(0))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 class CachedScorer:
     """Holds the jitted stage functions for one model."""
 
@@ -210,6 +221,11 @@ def compute_scores(
     """End-to-end dev/test scoring -> (auc, mrr, ndcg5, ndcg10). Dispatches
     on the model family (DIGAT two-stage graph cache vs NRMS dual cache)."""
     assert mode in ("dev", "test")
+    if jax.process_count() > 1:
+        # the scorer's jits are process-local (each process scores its own
+        # item shard); params living on the global train mesh must come
+        # back to host first, or local and global device assignments mix
+        params = jax.tree.map(_host_value, params)
     bs = batch_size or model.config.effective_eval_batch_size()
     if getattr(model, "family", "digat") == "nrms":
         scorer = NRMSCachedScorer(model, bs)

@@ -30,25 +30,36 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    initialization_timeout: Optional[int] = None,
 ) -> None:
     """Multi-host bootstrap (the reference's dist.init_process_group
     equivalent, config.py:89). On TPU pods with default env vars all
     arguments resolve automatically; no-op when already initialized or
     single-process with no coordinator configured."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NB: must not touch the XLA backend (jax.process_count() etc.) before
+    # jax.distributed.initialize, or the rendezvous is refused
+    if jax.distributed.is_initialized():
+        return
     import os
 
+    explicit = coordinator_address is not None or num_processes is not None
     if coordinator_address is None and "COORDINATOR_ADDRESS" in os.environ:
         coordinator_address = os.environ["COORDINATOR_ADDRESS"]
+        explicit = True
+    kwargs = {}
+    if initialization_timeout is not None:
+        kwargs["initialization_timeout"] = initialization_timeout
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kwargs,
         )
     except (ValueError, RuntimeError):
-        pass  # single-process / already-initialized environments
+        if explicit:
+            raise  # a configured rendezvous that fails must not be silent
+        # single-process / already-initialized environments: fine
 
 
 def make_mesh(data: int = 0, model: int = 1, devices=None) -> Mesh:
@@ -94,12 +105,29 @@ def shard_batch_arrays(mesh: Optional[Mesh], batch):
     """device_put a batch pytree with data-axis sharding (or default
     placement when no mesh). The sorted embedding-gradient metadata of a
     DedupTrainBatch (`emb`) is batch-global — its arrays are work lists,
-    not per-sample rows — so it is replicated."""
+    not per-sample rows — so it is replicated.
+
+    Multi-process: every process holds only ITS batch rows, so the global
+    array is assembled from per-process local shards (the DDP per-rank
+    batch contract, reference trainer.py:75-80) — the global batch dim is
+    local_rows x process_count."""
     if mesh is None:
         return jax.device_put(batch)
     emb = getattr(batch, "emb", None)
+    rows = batch if emb is None else batch._replace(emb=None)
+    sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        nproc = jax.process_count()
+
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                sh, x, (x.shape[0] * nproc,) + x.shape[1:]
+            )
+
+        rows = jax.tree.map(put, rows)
+    else:
+        rows = jax.device_put(rows, sh)
     if emb is None:
-        return jax.device_put(batch, batch_sharding(mesh))
-    rows = batch._replace(emb=None)
-    rows = jax.device_put(rows, batch_sharding(mesh))
+        return rows
     return rows._replace(emb=jax.device_put(emb, replicated(mesh)))

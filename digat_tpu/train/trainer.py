@@ -144,9 +144,16 @@ class Trainer:
         shard_index = self.process_index
         split = corpus.splits["train"]
 
-        # unique-title dedup (digat family only; see DedupTrainBatch)
+        # unique-title dedup (digat family only; see DedupTrainBatch).
+        # Multi-process runs keep it off: the unique-title table is
+        # batch-local, and a cross-process global batch would need an
+        # all-gathered title table (future work — single-host perf feature).
         dedup = 0
-        if getattr(model, "family", "digat") == "digat" and cfg.dedup_titles != 0:
+        if (
+            getattr(model, "family", "digat") == "digat"
+            and cfg.dedup_titles != 0
+            and jax.process_count() == 1
+        ):
             if cfg.dedup_titles > 0:
                 dedup = cfg.dedup_titles
             else:  # auto-size from a sample of batches
