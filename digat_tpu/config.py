@@ -85,7 +85,7 @@ class Config:
     # initializes word embeddings from GloVe). Empty glove_path / 'hash'
     # embedder fall back to deterministic hash embeddings (hermetic CI mode).
     glove_path: str = ""  # GloVe .txt (word + floats per line); '' = pseudo-GloVe
-    sag_embedder: str = "hash"  # hash | sentence_transformer
+    sag_embedder: str = "hash"  # hash | sentence_transformer | jax_mpnet
     sag_embedder_model: str = "sentence-transformers/all-mpnet-base-v2"
     # Model family: 'digat' (main experiment) or 'nrms' (Appendix-B SA
     # strategy on a sequence model)
@@ -170,7 +170,7 @@ class Config:
         if self.cnn_method == "group5":
             assert self.cnn_kernel_num % 5 == 0
         assert self.compute_dtype in ("float32", "bfloat16")
-        assert self.sag_embedder in ("hash", "sentence_transformer"), self.sag_embedder
+        assert self.sag_embedder in ("hash", "sentence_transformer", "jax_mpnet"), self.sag_embedder
         assert self.model_family in ("digat", "nrms")
         assert self.nrms_model in ("NRMS-SA", "NRMS")
         return self

@@ -53,15 +53,17 @@ def _download_extract(root: str, dataset: str) -> None:
 
 
 def split_behaviors(lines: List[str], seed: int = 0) -> Tuple[List[str], List[str]]:
-    """95/5 random split of behavior lines (reference seeds the global RNGs
-    with 0; here the split is self-seeded and deterministic)."""
+    """95/5 random split of behavior lines: shuffle once, mark a uniform
+    random 95% subset of positions as train, keep both splits in shuffled
+    order. Distribution-identical to the reference's split_training_behaviors
+    (prepare_MIND_dataset.py:56-77), which additionally shuffles the id list
+    before sampling — a no-op, since `random.sample` over a permuted
+    population is still a uniform subset. (The reference seeds the global
+    RNGs with 0; here the split is self-seeded and deterministic.)"""
     rng = random.Random(seed)
-    order = list(range(len(lines)))
-    rng.shuffle(order)
-    shuffled = [lines[i] for i in order]
-    ids = list(range(len(lines)))
-    rng.shuffle(ids)
-    train_ids = set(rng.sample(ids, int(len(lines) * TRAIN_RATIO)))
+    shuffled = list(lines)
+    rng.shuffle(shuffled)
+    train_ids = set(rng.sample(range(len(lines)), int(len(lines) * TRAIN_RATIO)))
     train = [l for i, l in enumerate(shuffled) if i in train_ids]
     dev = [l for i, l in enumerate(shuffled) if i not in train_ids]
     return train, dev

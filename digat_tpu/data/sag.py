@@ -88,8 +88,12 @@ def get_embedder(name: str, model_name: str = DEFAULT_ST_MODEL):
     """Embedder dispatch for the config knob ``sag_embedder``.
 
     'hash' is the hermetic CI mode; 'sentence_transformer' reproduces the
-    reference's PLM mining. Raises ImportError with a clear message when the
-    optional dependency is missing rather than silently degrading quality."""
+    reference's PLM mining through the torch package; 'jax_mpnet' runs the
+    same frozen MPNet re-hosted in JAX on the default backend (TPU) — torch
+    is used only to deserialize the checkpoint (digat_tpu/plm/mpnet.py,
+    parity-tested against the HF model). Raises ImportError with a clear
+    message when the optional dependency is missing rather than silently
+    degrading quality."""
     if name == "hash":
         return hash_embedder
     if name == "sentence_transformer":
@@ -101,6 +105,10 @@ def get_embedder(name: str, model_name: str = DEFAULT_ST_MODEL):
                 f"sentence-transformers package (model {model_name}); "
                 f"install it or use sag_embedder='hash'"
             ) from e
+    if name == "jax_mpnet":
+        from digat_tpu.plm.mpnet import jax_mpnet_embedder
+
+        return jax_mpnet_embedder(model_name)
     raise ValueError(f"unknown sag_embedder {name!r}")
 
 

@@ -128,7 +128,8 @@ def masked_softmax(scores, mask, axis: int = -1):
     dtype = scores.dtype
     if mask is not None:
         scores = jnp.where(mask.astype(bool), scores, MASK_FILL)
-    return jax.nn.softmax(scores.astype(jnp.float32), axis=axis).astype(dtype)
+    acc = jnp.promote_types(dtype, jnp.float32)  # f64 stays f64 (parity leg)
+    return jax.nn.softmax(scores.astype(acc), axis=axis).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -218,7 +219,9 @@ def mha(params, x, heads: int, compute_dtype=None, key_mask=None,
     d_k = params["W_K"]["w"].shape[-1] // h
     d_v = params["W_V"]["w"].shape[-1] // h
     lead, L2 = x.shape[:-2], x.shape[-2]
-    if use_pallas and d_k == d_v and jax.default_backend() == "tpu":
+    from digat_tpu.ops.pallas.runtime import pallas_available
+
+    if use_pallas and d_k == d_v and pallas_available():
         from digat_tpu.ops.pallas.msa_attention_grouped import group_size
 
         g = group_size(h, L2, d_k)
@@ -271,9 +274,10 @@ def mha(params, x, heads: int, compute_dtype=None, key_mask=None,
         a = jnp.where(
             key_mask[..., None, None, :].astype(bool), a, MASK_FILL
         )
-    alpha = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(v.dtype)
+    acc = jnp.promote_types(v.dtype, jnp.float32)
+    alpha = jax.nn.softmax(a.astype(acc), axis=-1).astype(v.dtype)
     out = jnp.einsum("...hqk,...khd->...qhd", alpha, v)
-    out = out.reshape(*x.shape[:-1], h * d_v).astype(jnp.float32)
+    out = out.reshape(*x.shape[:-1], h * d_v).astype(acc)
     return (out, d_v) if return_padded else out
 
 

@@ -190,12 +190,14 @@ def _gat_layer(gat, i, st, rng, train, x, adj, query):
     x: [B, G, D]; adj: [B, G, G] bool; query: [B, D] or None.
     out[i] = relu(sum_j alpha[i,j] h[j]) + x[i], softmax over neighbors j.
     """
+    from digat_tpu.ops.pallas.runtime import pallas_available
+
     if (
         not train
         and query is not None
         and st.use_pallas
         and x.shape[1] >= _FUSED_LAYER_MIN_NODES
-        and jax.default_backend() == "tpu"
+        and pallas_available()
     ):
         # fp32 and bf16 both take this path: the kernel upcasts to fp32 at
         # load, so bf16 only halves the HBM traffic (measured B=1024 G=68:
@@ -218,7 +220,7 @@ def _gat_layer(gat, i, st, rng, train, x, adj, query):
         and st.use_pallas
         and st.dropout_rate > 0
         and _FUSED_TRAIN_LAYER
-        and jax.default_backend() == "tpu"
+        and pallas_available()
     ):
         # whole training layer (dropout, projections, Eq.(8) scores, masked
         # softmax, attention dropout, aggregation, residual) as one fused

@@ -177,9 +177,10 @@ class Model:
             rep(hist), rep(user_graph), rep(user_category_mask),
             rep(user_category_indices),
         )
+        acc = jnp.promote_types(news_rep.dtype, jnp.float32)
         logits = jnp.sum(
-            news_rep.reshape(B, Nn, -1).astype(jnp.float32)
-            * user_rep.reshape(B, Nn, -1).astype(jnp.float32),
+            news_rep.reshape(B, Nn, -1).astype(acc)
+            * user_rep.reshape(B, Nn, -1).astype(acc),
             axis=-1,
         )
         return logits
@@ -245,9 +246,8 @@ class Model:
             user_news_embedding, user_graph, user_category_mask,
             user_category_indices, c_n0=c_n0,
         )
-        return jnp.sum(
-            news_rep.astype(jnp.float32) * user_rep.astype(jnp.float32), axis=-1
-        )
+        acc = jnp.promote_types(news_rep.dtype, jnp.float32)
+        return jnp.sum(news_rep.astype(acc) * user_rep.astype(acc), axis=-1)
 
     # ------------------------------------------------------------------
     def encode_news(self, params, title_text, title_mask):
@@ -276,12 +276,20 @@ class Model:
             params,
         )
 
-    def loss(self, params, tables: CorpusTables, batch: TrainBatch, rng):
-        """Listwise sampled-softmax NLL (reference trainer.py:100), with
-        per-row weights so padded tail batches contribute nothing."""
+    def loss_parts(self, params, tables: CorpusTables, batch: TrainBatch, rng):
+        """(weighted NLL sum, weight sum) — the two reduction terms of the
+        listwise loss, separated so a data-parallel shard_map step can psum
+        each across shards before dividing."""
         logits = self.forward_indexed(
             self.cast_params(params), tables, batch, rng, train=True
         )
-        nll = -jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)[:, 0]
-        w = batch.weight
-        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+        acc = jnp.promote_types(logits.dtype, jnp.float32)
+        nll = -jax.nn.log_softmax(logits.astype(acc), axis=1)[:, 0]
+        w = batch.weight.astype(acc)
+        return jnp.sum(nll * w), jnp.sum(w)
+
+    def loss(self, params, tables: CorpusTables, batch: TrainBatch, rng):
+        """Listwise sampled-softmax NLL (reference trainer.py:100), with
+        per-row weights so padded tail batches contribute nothing."""
+        num, den = self.loss_parts(params, tables, batch, rng)
+        return num / jnp.maximum(den, 1.0)

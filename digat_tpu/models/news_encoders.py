@@ -74,14 +74,19 @@ def encode(params, st: NewsStatic, rng, train: bool, title_text, title_mask,
     # kernel (on-core PRNG; the mask never round-trips HBM) — skip the XLA
     # dropout there and pass the rate + a seed derived from the same key
     fused_msa = False
-    if (st.encoder != "CNN" and st.use_pallas
-            and jax.default_backend() == "tpu"):
+    from digat_tpu.ops.pallas.runtime import pallas_available
+
+    if st.encoder != "CNN" and st.use_pallas and pallas_available():
         from digat_tpu.ops.pallas.msa_attention_grouped import group_size
 
         fused_msa = group_size(
             st.msa_heads, st.max_title_length, st.dim // st.msa_heads
         ) > 0
-    fused_drop = fused_msa and train and st.dropout_rate > 0.0
+    # in-kernel dropout draws from the on-core PRNG (pltpu.prng_seed),
+    # which has no interpret-mode lowering — off-TPU (interpret validation)
+    # the word-embedding dropout stays in XLA and the kernel runs rate 0
+    fused_drop = (fused_msa and train and st.dropout_rate > 0.0
+                  and jax.default_backend() == "tpu")
     if not fused_drop:
         w = L.dropout(r_emb, w, st.dropout_rate, train)
     lead = w.shape[:-2]

@@ -176,13 +176,18 @@ class NRMSModel:
             user_rep.astype(jnp.float32),
         )
 
-    def loss(self, params, tables, batch, rng):
+    def loss_parts(self, params, tables, batch, rng):
+        """(weighted NLL sum, weight sum) for data-parallel psum reduction."""
         logits = self.forward_indexed(
             self.cast_params(params), tables, batch, rng, train=True
         )
         nll = -jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)[:, 0]
         w = batch.weight
-        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return jnp.sum(nll * w), jnp.sum(w)
+
+    def loss(self, params, tables, batch, rng):
+        num, den = self.loss_parts(params, tables, batch, rng)
+        return num / jnp.maximum(den, 1.0)
 
 
 class NRMSTables(NamedTuple):

@@ -233,6 +233,9 @@ _lookup.defvjp(_lookup_fwd, _lookup_bwd)
 
 def embedding_lookup(table, tok, meta: EmbGradMeta | None,
                      tile: int = DEFAULT_TILE, interpret: bool = False):
+    from digat_tpu.ops.pallas.runtime import INTERPRET
+
+    interpret = interpret or INTERPRET
     """`table[tok]` whose backward uses the sorted row-sum kernel when
     `meta` (built from this exact `tok` array) is provided."""
     if meta is None:

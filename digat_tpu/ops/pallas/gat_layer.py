@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from digat_tpu.ops.pallas import runtime as _rt
+
 from digat_tpu.layers import MASK_FILL
 
 DEFAULT_BATCH_TILE = 8
@@ -116,6 +118,7 @@ def interactive_gat_layer_fused(
     """x: [B, G, D]; adj: [B, G, G] bool; query: [B, D]; weight matrices
     [D, D]; biases [D]; a_vec [D]. Returns the updated node states [B, G, D]
     (see module docstring). Inference only — not differentiable."""
+    interpret = interpret or _rt.INTERPRET
     if jax.default_backend() != "tpu" and not interpret:
         return _fused_xla(x, adj, query, W, bW, W1, W2, W3, b3, a_vec,
                           negative_slope)

@@ -51,6 +51,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from digat_tpu.ops.pallas import runtime as _rt
+
 from digat_tpu.layers import MASK_FILL
 
 IB = 8  # center-row unroll of the score sweep (Mosaic sublane alignment)
@@ -422,6 +424,7 @@ def interactive_gat_layer_train(
     all weights. Falls back to the XLA composition off-TPU."""
     scale1 = 1.0 / (1.0 - input_rate) if input_rate > 0 else 1.0
     scale2 = 1.0 / (1.0 - attn_rate) if attn_rate > 0 else 1.0
+    interpret = interpret or _rt.INTERPRET
     if jax.default_backend() != "tpu" and not interpret:
         return _layer_xla(x, adj, query, m1, m2, W, bW, W1, W2, W3, b3,
                           a_vec, scale1, scale2, negative_slope)

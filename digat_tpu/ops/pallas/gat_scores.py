@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from digat_tpu.ops.pallas import runtime as _rt
+
 DEFAULT_BATCH_TILE = 8
 
 # i-sweep unroll width; 1 restores the row-at-a-time sweep
@@ -88,6 +90,7 @@ def _scores_fwd_pallas(k1, k2, k3, a_vec, batch_tile: int):
             bytes_accessed=(2 * Bp * G * D + Bp * D + D + Bp * G * G) * 4,
             transcendentals=0,
         ),
+        interpret=_rt.INTERPRET,
     )(k1, k2, k3, a_vec[None, :])
     return out[:B] if pad else out
 
@@ -196,6 +199,7 @@ def _scores_bwd_pallas(k1, k2, k3, a_vec, g, batch_tile: int):
             bytes_accessed=(4 * Bp * G * D + Bp * G * G + D) * 4,
             transcendentals=0,
         ),
+        interpret=_rt.INTERPRET,
     )(k1, k2, k3[:, None, :], a_vec[None, :], g)
     gk3 = gk3[:, 0, :]
     ga = jnp.sum(ga_t, axis=(0, 1))
@@ -235,7 +239,7 @@ def interactive_gat_scores_pallas(k1, k2, k3, a_vec, batch_tile: int = DEFAULT_B
     dynamically row-index bf16 VMEM refs (16-sublane tiles), and the
     kernel is VPU-bound in fp32 regardless; the score dtype follows the
     inputs."""
-    if jax.default_backend() != "tpu":
+    if not _rt.pallas_available():
         return _scores_xla(k1, k2, k3, a_vec)
     if k1.dtype != jnp.float32:
         out = _scores(

@@ -30,6 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from digat_tpu.ops.pallas import runtime as _rt
+
 from digat_tpu.layers import MASK_FILL
 
 def _auto_tile(L: int, D: int, itemsize: int, nbuf: int,
@@ -144,6 +146,7 @@ def _call_fwd(q, k, v, mask, heads, tile):
             bytes_accessed=4 * npad * L * D * q.dtype.itemsize,
             transcendentals=npad * heads * L * L,
         ),
+        interpret=_rt.INTERPRET,
     )(*ins)
     return out[:n]
 
@@ -176,6 +179,7 @@ def _call_bwd(q, k, v, mask, do, heads, tile):
             bytes_accessed=7 * npad * L * D * q.dtype.itemsize,
             transcendentals=npad * heads * L * L,
         ),
+        interpret=_rt.INTERPRET,
     )(*ins)
     return dq[:n], dk_[:n], dv[:n]
 
@@ -214,6 +218,6 @@ def _attention_xla(q, k, v, mask, heads):
 def msa_attention(q, k, v, heads: int, mask=None, tile: int = 0):
     """softmax(QK^T/sqrt(dk))V per head over packed [N, L, heads*dk]
     projections; optional [N, L] key mask. Pallas on TPU, XLA elsewhere."""
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not _rt.INTERPRET:
         return _attention_xla(q, k, v, mask, heads)
     return _attention(q, k, v, mask, heads, tile)

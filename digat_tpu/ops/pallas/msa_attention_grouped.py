@@ -51,6 +51,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from digat_tpu.ops.pallas import runtime as _rt
+
 from digat_tpu.layers import MASK_FILL
 
 
@@ -321,6 +323,7 @@ def msa_attention_grouped(
     g = group_size(heads, L, dk)
     assert g > 0, f"no valid group size for heads={heads} L={L} dk={dk}"
     assert Dp % heads == 0 and Dp // heads >= dk
+    interpret = interpret or _rt.INTERPRET
     if jax.default_backend() != "tpu" and not interpret:
         from digat_tpu.ops.pallas.msa_attention import _attention_xla
 

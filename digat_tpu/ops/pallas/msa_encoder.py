@@ -41,6 +41,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from digat_tpu.ops.pallas import runtime as _rt
+
 from digat_tpu.layers import MASK_FILL
 from digat_tpu.ops.pallas.msa_attention_grouped import (
     _bseg,
@@ -488,6 +490,7 @@ def msa_encoder_pooled(x, mask, msa_params, pool_params, heads: int, dk: int,
     ).reshape(Dp, A)
     b1 = pool_params["affine1"]["b"]
     vv = pool_params["affine2"]["w"][:, 0]  # [A]
+    interpret = interpret or _rt.INTERPRET
     if jax.default_backend() != "tpu" and not interpret:
         assert dropout_rate == 0.0, "fused dropout requires the TPU kernel"
         return (

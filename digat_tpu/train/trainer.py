@@ -37,7 +37,7 @@ from digat_tpu.models.model import Model
 from digat_tpu.parallel import mesh as mesh_lib
 from digat_tpu.train import checkpoint as ckpt_lib
 from digat_tpu.train.optimizer import lr_at_epoch, make_optimizer
-from digat_tpu.train.train_step import make_train_step
+from digat_tpu.train.train_step import make_shardmap_train_step, make_train_step
 from digat_tpu.utils import profiling
 
 
@@ -134,7 +134,18 @@ class Trainer:
             else corpus.tables()
         )
         tables = jax.device_put(raw_tables, mesh_lib.replicated(mesh))
-        step_fn = make_train_step(model, self.tx)
+        # multi-device pure-DP runs step through an explicit shard_map so
+        # the Pallas kernels partition along `data` (under plain jit the
+        # SPMD partitioner would replicate the custom calls); the TP
+        # (mesh_model>1) path keeps jit propagation, whose collectives are
+        # emitted around the XLA-expressed ops
+        data_parallel = (
+            mesh.shape[mesh_lib.DATA_AXIS] > 1 and cfg.mesh_model == 1
+        )
+        if data_parallel:
+            step_fn = make_shardmap_train_step(model, self.tx, mesh)
+        else:
+            step_fn = make_train_step(model, self.tx)
 
         rng = np.random.default_rng(cfg.seed)
         best = -1.0
@@ -145,14 +156,16 @@ class Trainer:
         split = corpus.splits["train"]
 
         # unique-title dedup (digat family only; see DedupTrainBatch).
-        # Multi-process runs keep it off: the unique-title table is
-        # batch-local, and a cross-process global batch would need an
-        # all-gathered title table (future work — single-host perf feature).
+        # Multi-process and multi-device-DP runs keep it off: the
+        # unique-title table is batch-local — a sharded batch would either
+        # need per-shard dedup tables (shard_map path) or an all-gathered
+        # one (future work — single-chip perf feature today).
         dedup = 0
         if (
             getattr(model, "family", "digat") == "digat"
             and cfg.dedup_titles != 0
             and jax.process_count() == 1
+            and not data_parallel
         ):
             if cfg.dedup_titles > 0:
                 dedup = cfg.dedup_titles
@@ -169,9 +182,10 @@ class Trainer:
                 self._log(f"[dedup] unique-title capacity = {dedup}")
         # sorted embedding-grad kernel: TPU-only (CPU falls back to scatter
         # in the custom VJP anyway; skip the host-side sort work there)
+        from digat_tpu.ops.pallas.runtime import pallas_available
+
         sorted_emb = (
-            cfg.sorted_emb_grad and dedup > 0
-            and jax.default_backend() == "tpu"
+            cfg.sorted_emb_grad and dedup > 0 and pallas_available()
         )
 
         for epoch in range(start_epoch, cfg.epoch + 1):

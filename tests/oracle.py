@@ -141,6 +141,80 @@ def graph_forward(params, variant, depth, H, C, news_x, news_graph,
     return c_n, c_u
 
 
+def mha_np(p, x, heads):
+    """Unmasked multi-head self-attention (reference layers.py:50-88).
+
+    x: [B, L, d_model] -> [B, L, heads*d_v]. Pads participate in the
+    softmax (main-variant semantics)."""
+    q = lin(p["W_Q"], x)
+    k = lin(p["W_K"], x)
+    v = lin(p["W_V"], x)
+    B, L = x.shape[:2]
+    d_k = q.shape[-1] // heads
+    d_v = v.shape[-1] // heads
+    q = q.reshape(B, L, heads, d_k)
+    k = k.reshape(B, L, heads, d_k)
+    v = v.reshape(B, L, heads, d_v)
+    a = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(float(d_k))
+    alpha = softmax(a, axis=-1)
+    out = np.einsum("bhqk,bkhd->bqhd", alpha, v)
+    return out.reshape(B, L, heads * d_v)
+
+
+def msa_encode_np(params, tokens, mask, heads):
+    """Oracle of the MSA news encoder, eval mode (newsEncoders.py:57-82):
+    GloVe lookup -> 16-head self-attention -> relu -> masked tanh-MLP
+    attention pooling. tokens: [N, L] int; mask: [N, L] -> [N, D]."""
+    emb = np.asarray(params["word_embedding"], np.float64)
+    w = emb[tokens]
+    h = np.maximum(mha_np(params["msa"], w, heads), 0.0)
+    return attn_pool(params["pool"], h, mask)
+
+
+def model_eval_np(params, variant, depth, H, C, heads, news_reps,
+                  node_id, news_graph, news_graph_mask, batch_hist_idx,
+                  batch_cat_idx, batch_sample_idx, chunk=64):
+    """Full-model eval oracle -> logits [B, 1+K] (model.py:54-77 semantics).
+
+    `news_reps` [news_num, D]: pre-encoded unique news (from msa_encode_np).
+    Gathers candidate-SAG node reps and history reps, broadcasts the user
+    side across candidates, runs the graph oracle in flat [B*(1+K)] chunks
+    (the [B', G, G, D] Eq.(8) intermediate is materialized per chunk), and
+    dots news/user representations."""
+    B, N = batch_sample_idx.shape
+    cand = news_reps[node_id[batch_sample_idx]]      # [B, N, Gn, D]
+    hist = news_reps[batch_hist_idx]                 # [B, H, D]
+    ngraph = news_graph[batch_sample_idx]            # [B, N, Gn, Gn]
+    nmask = news_graph_mask[batch_sample_idx]        # [B, N, Gn]
+    ugraph = np.stack([user_graph_np(r, H, C)[0] for r in batch_cat_idx])
+    cmask = np.stack([user_graph_np(r, H, C)[1] for r in batch_cat_idx])
+
+    flat = lambda x: x.reshape((B * N,) + x.shape[2:])
+    rep = lambda x: np.broadcast_to(
+        x[:, None], (B, N) + x.shape[1:]
+    ).reshape((B * N,) + x.shape[1:])
+    fc, fg, fm = flat(cand), flat(ngraph), flat(nmask)
+    rh, rg = rep(hist), rep(ugraph)
+    rcm, rci = rep(cmask), rep(batch_cat_idx)
+
+    outs = []
+    for s in range(0, B * N, chunk):
+        e = min(s + chunk, B * N)
+        c_n, c_u = graph_forward(
+            params, variant, depth, H, C, fc[s:e], fg[s:e], fm[s:e],
+            rh[s:e], rg[s:e], rcm[s:e], rci[s:e],
+        )
+        outs.append(np.sum(c_n * c_u, axis=-1))
+    return np.concatenate(outs).reshape(B, N)
+
+
+def listwise_nll_np(logits, weight):
+    """Weighted listwise NLL (trainer.py:100): -log_softmax(logits)[:, 0]."""
+    p = softmax(logits, axis=1)
+    nll = -np.log(p[:, 0])
+    return float(np.sum(nll * weight) / max(np.sum(weight), 1.0))
+
+
 def user_graph_np(cat_idx_row, H, C):
     """Oracle for the reference's user-graph edge rules
     (MIND_corpus.py:153-176), built with the original per-pair loops."""

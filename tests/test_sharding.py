@@ -67,6 +67,49 @@ def test_model_sharded_embedding_matches(setup):
     np.testing.assert_allclose(ref_losses, sh_losses, rtol=5e-4)
 
 
+def test_shardmap_step_with_kernels_matches_single_device(setup):
+    """The explicit-shard_map DP step — the multi-chip path for the Pallas
+    kernels — must match single-device numerics. Kernels run in interpret
+    mode here (dropout off so rng-stream differences are irrelevant)."""
+    import dataclasses
+
+    from digat_tpu.models.model import Model
+    from digat_tpu.ops.pallas import runtime as plrt
+    from digat_tpu.train.train_step import make_shardmap_train_step
+
+    cfg = dataclasses.replace(graft._tiny_config(), use_pallas=True)
+    cfg.dropout_rate = 0.0
+    model = Model(cfg)
+    tables, batch = graft._tiny_data(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.weight_decay, cfg.gradient_clip_norm, params)
+
+    ref_losses, ref_params = _run_steps(model, tx, params, tables, batch, None, 1)
+
+    plrt.set_interpret(True)
+    try:
+        mesh = mesh_lib.make_mesh(data=8, model=1)
+        p = jax.device_put(
+            jax.tree.map(jnp.array, params), mesh_lib.replicated(mesh)
+        )
+        o = jax.device_put(tx.init(params), mesh_lib.replicated(mesh))
+        t = jax.device_put(tables, mesh_lib.replicated(mesh))
+        b = mesh_lib.shard_batch_arrays(mesh, batch)
+        step = make_shardmap_train_step(model, tx, mesh)
+        losses = []
+        for _ in range(2):
+            p, o, loss = step(p, o, t, b, jax.random.PRNGKey(42), jnp.float32(1e-3))
+            losses.append(float(loss))
+    finally:
+        plrt.set_interpret(False)
+    np.testing.assert_allclose(ref_losses, losses, rtol=5e-4)
+    # psum reduction order differs from the single-device sum; Adam's
+    # second-moment rescaling amplifies that on near-zero gradients, so the
+    # parameter tolerance is looser than the pure-DP jit test above
+    for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(jax.tree.map(np.asarray, p))):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=3e-3)
+
+
 def test_dryrun_multichip_entry():
     graft.dryrun_multichip(8)
 
