@@ -19,6 +19,7 @@ import queue
 import threading
 from typing import Iterator, Optional
 
+import jax
 import numpy as np
 
 from digat_tpu.models.model import DedupTrainBatch, EvalBatch, TrainBatch
@@ -53,6 +54,51 @@ def dedup_batch(batch: TrainBatch, news_node_id, capacity: int,
         cat_idx=np.asarray(batch.cat_idx),
         sample_idx=np.asarray(batch.sample_idx),
         weight=np.asarray(batch.weight),
+        emb=emb,
+    )
+
+
+def dedup_shards(batch: TrainBatch, news_node_id, capacity: int,
+                 n_shards: int, news_title_text=None, vocab_size: int = 0):
+    """Per-shard dedup for the shard_map data-parallel step: split the
+    batch rows into `n_shards` contiguous groups (the layout jnp sharding
+    of the leading axis produces), dedup each group independently, and
+    stack to a ShardedDedupBatch. Returns None when any shard's unique
+    count exceeds `capacity` (caller falls back to the plain batch) or the
+    batch doesn't divide evenly."""
+    from digat_tpu.models.model import ShardedDedupBatch
+
+    B = batch.weight.shape[0]
+    if B % n_shards:
+        return None
+    rows = B // n_shards
+    parts = []
+    for s in range(n_shards):
+        sl = slice(s * rows, (s + 1) * rows)
+        sub = TrainBatch(
+            history_idx=np.asarray(batch.history_idx)[sl],
+            cat_idx=np.asarray(batch.cat_idx)[sl],
+            sample_idx=np.asarray(batch.sample_idx)[sl],
+            weight=np.asarray(batch.weight)[sl],
+        )
+        node_ids = np.asarray(news_node_id)[sub.sample_idx]
+        flat = np.concatenate([node_ids.ravel(), sub.history_idx.ravel()])
+        if len(np.unique(flat)) > capacity:
+            return None
+        parts.append(dedup_batch(sub, news_node_id, capacity,
+                                 news_title_text=news_title_text,
+                                 vocab_size=vocab_size))
+    stack = lambda *xs: np.stack(xs)
+    emb = None
+    if parts[0].emb is not None:
+        emb = jax.tree.map(stack, *[p.emb for p in parts])
+    return ShardedDedupBatch(
+        uniq_ids=np.stack([p.uniq_ids for p in parts]),
+        cand_inv=np.stack([p.cand_inv for p in parts]),
+        hist_inv=np.stack([p.hist_inv for p in parts]),
+        cat_idx=np.stack([p.cat_idx for p in parts]),
+        sample_idx=np.stack([p.sample_idx for p in parts]),
+        weight=np.stack([p.weight for p in parts]),
         emb=emb,
     )
 

@@ -66,6 +66,34 @@ class DedupTrainBatch(NamedTuple):
     emb: Optional[tuple] = None  # EmbGradMeta or None
 
 
+class ShardedDedupBatch(NamedTuple):
+    """Per-shard unique-title dedup for the shard_map data-parallel step:
+    every leaf of a DedupTrainBatch stacked on a leading shard axis [S, ...]
+    (shard i's rows are batch rows [i*B/S, (i+1)*B/S)). Sharding the leading
+    axis along `data` hands each device its own batch-local unique-title
+    table, so the multi-device step keeps the encode-once dedup win and the
+    sorted embedding gradient without any cross-shard title exchange."""
+
+    uniq_ids: jnp.ndarray  # [S, cap]
+    cand_inv: jnp.ndarray  # [S, B/S, 1+K, Gn]
+    hist_inv: jnp.ndarray  # [S, B/S, H]
+    cat_idx: jnp.ndarray  # [S, B/S, H]
+    sample_idx: jnp.ndarray  # [S, B/S, 1+K]
+    weight: jnp.ndarray  # [S, B/S]
+    emb: Optional[tuple] = None  # EmbGradMeta leaves stacked [S, ...]
+
+    def local(self):
+        """The shard-local DedupTrainBatch (inside shard_map, S == 1)."""
+        take = lambda x: x[0]
+        emb = None if self.emb is None else jax.tree.map(take, self.emb)
+        return DedupTrainBatch(
+            uniq_ids=take(self.uniq_ids), cand_inv=take(self.cand_inv),
+            hist_inv=take(self.hist_inv), cat_idx=take(self.cat_idx),
+            sample_idx=take(self.sample_idx), weight=take(self.weight),
+            emb=emb,
+        )
+
+
 class EvalBatch(NamedTuple):
     """Stage-2 eval batch: one impression item per row."""
 

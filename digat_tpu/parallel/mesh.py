@@ -113,7 +113,13 @@ def shard_batch_arrays(mesh: Optional[Mesh], batch):
     local_rows x process_count."""
     if mesh is None:
         return jax.device_put(batch)
+    from digat_tpu.models.model import ShardedDedupBatch
+
     emb = getattr(batch, "emb", None)
+    if isinstance(batch, ShardedDedupBatch):
+        # per-shard dedup: EVERY leaf (including the per-shard emb-grad
+        # work lists) is stacked on the shard axis and splits along `data`
+        emb = None
     rows = batch if emb is None else batch._replace(emb=None)
     sh = batch_sharding(mesh)
     if jax.process_count() > 1:

@@ -53,8 +53,12 @@ def make_shardmap_train_step(model: Model, tx, mesh, data_axis: str = "data"):
     """
     from jax.sharding import PartitionSpec as P
 
+    from digat_tpu.models.model import ShardedDedupBatch
+
     def step(params, opt_state, tables, batch, rng, lr):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        if isinstance(batch, ShardedDedupBatch):
+            batch = batch.local()  # this shard's own unique-title batch
 
         def loss_fn(p):
             num, den = model.loss_parts(p, tables, batch, rng)

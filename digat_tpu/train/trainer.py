@@ -156,30 +156,40 @@ class Trainer:
         split = corpus.splits["train"]
 
         # unique-title dedup (digat family only; see DedupTrainBatch).
-        # Multi-process and multi-device-DP runs keep it off: the
-        # unique-title table is batch-local — a sharded batch would either
-        # need per-shard dedup tables (shard_map path) or an all-gathered
-        # one (future work — single-chip perf feature today).
+        # Under multi-device DP the dedup is PER SHARD (ShardedDedupBatch):
+        # each device gets its own batch-local unique-title table inside
+        # shard_map, so the encode-once win and the sorted embedding
+        # gradient survive scale-out with no cross-shard title exchange.
         dedup = 0
+        dp_shards = 0
         if (
             getattr(model, "family", "digat") == "digat"
             and cfg.dedup_titles != 0
-            and jax.process_count() == 1
-            and not data_parallel
         ):
-            if cfg.dedup_titles > 0:
-                dedup = cfg.dedup_titles
-            else:  # auto-size from a sample of batches
-                probe_negatives = sampling.sample_negatives(
-                    corpus.train_neg_flat, corpus.train_neg_offsets,
-                    cfg.negative_sample_num, np.random.default_rng(cfg.seed),
-                )
-                dedup = batching.estimate_dedup_capacity(
-                    split.history_idx, corpus.train_behavior_row,
-                    corpus.train_pos, probe_negatives, corpus.news_node_id,
-                    cfg.batch_size, seed=cfg.seed,
-                )
-                self._log(f"[dedup] unique-title capacity = {dedup}")
+            dedup_rows = cfg.batch_size
+            if data_parallel:
+                dp_shards = jax.local_device_count() // max(cfg.mesh_model, 1)
+                if dp_shards < 1 or cfg.batch_size % dp_shards:
+                    dp_shards = 0  # indivisible batch: plain DP batches
+                else:
+                    dedup_rows = cfg.batch_size // dp_shards
+            if not data_parallel or dp_shards:
+                if cfg.dedup_titles > 0:
+                    dedup = cfg.dedup_titles
+                else:  # auto-size from a sample of batches
+                    probe_negatives = sampling.sample_negatives(
+                        corpus.train_neg_flat, corpus.train_neg_offsets,
+                        cfg.negative_sample_num, np.random.default_rng(cfg.seed),
+                    )
+                    dedup = batching.estimate_dedup_capacity(
+                        split.history_idx, corpus.train_behavior_row,
+                        corpus.train_pos, probe_negatives, corpus.news_node_id,
+                        dedup_rows, seed=cfg.seed,
+                    )
+                    self._log(
+                        f"[dedup] unique-title capacity = {dedup}"
+                        + (f" per shard x{dp_shards}" if dp_shards else "")
+                    )
         # sorted embedding-grad kernel: TPU-only (CPU falls back to scatter
         # in the custom VJP anyway; skip the host-side sort work there)
         from digat_tpu.ops.pallas.runtime import pallas_available
@@ -196,19 +206,38 @@ class Trainer:
                 np.random.default_rng(cfg.seed * 1_000_003 + epoch),
             )
             lr = lr_at_epoch(cfg.lr, epoch, cfg.lr_decay_epoch)
+            in_iter_dedup = dedup if not dp_shards else 0
             it = batching.train_batches(
                 split.history_idx, split.cat_idx, corpus.train_behavior_row,
                 corpus.train_pos, negatives, cfg.batch_size,
                 epoch_seed=cfg.seed * 7_000_003 + epoch,
                 shard_index=shard_index, shard_count=shard_count,
-                news_node_id=corpus.news_node_id if dedup else None,
-                dedup_titles=dedup,
+                news_node_id=corpus.news_node_id if in_iter_dedup else None,
+                dedup_titles=in_iter_dedup,
                 news_title_text=(
-                    corpus.news_title_text if dedup and sorted_emb else None
+                    corpus.news_title_text
+                    if in_iter_dedup and sorted_emb else None
                 ),
-                vocab_size=cfg.vocabulary_size if dedup and sorted_emb else 0,
+                vocab_size=(
+                    cfg.vocabulary_size if in_iter_dedup and sorted_emb else 0
+                ),
             )
-            put = lambda b: mesh_lib.shard_batch_arrays(mesh, b)
+            if dp_shards and dedup:
+                # per-shard dedup happens in the prefetch thread, overlapped
+                # with the device step; overflowing batches fall back plain
+                def put(b):
+                    sb = batching.dedup_shards(
+                        b, corpus.news_node_id, dedup, dp_shards,
+                        news_title_text=(
+                            corpus.news_title_text if sorted_emb else None
+                        ),
+                        vocab_size=cfg.vocabulary_size if sorted_emb else 0,
+                    )
+                    return mesh_lib.shard_batch_arrays(
+                        mesh, b if sb is None else sb
+                    )
+            else:
+                put = lambda b: mesh_lib.shard_batch_arrays(mesh, b)
             losses = []
             nsteps = 0
             timer = profiling.StepTimer(warmup=2)

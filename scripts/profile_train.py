@@ -53,8 +53,12 @@ def main():
     log(f"backend={jax.default_backend()}")
     news_num = 20_000
 
-    for B in (64, 256):
-        for dtype in ("float32", "bfloat16"):
+    import os
+
+    bs = tuple(int(x) for x in os.environ.get("PROF_B", "64,256").split(","))
+    dts = tuple(os.environ.get("PROF_DTYPES", "float32,bfloat16").split(","))
+    for B in bs:
+        for dtype in dts:
             cfg = Config(dataset="synthetic", vocabulary_size=40_000,
                          category_num=18, use_pallas=on_tpu,
                          compute_dtype=dtype, batch_size=B)

@@ -110,6 +110,50 @@ def test_shardmap_step_with_kernels_matches_single_device(setup):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=3e-3)
 
 
+def test_shardmap_per_shard_dedup_matches_plain(setup):
+    """ShardedDedupBatch (each shard dedups its own titles) must be
+    mathematically identical to the plain sharded batch: the inverse-index
+    gathers fan encoded titles out to exactly the dense layout."""
+    import dataclasses
+
+    from digat_tpu.data.batching import dedup_shards
+    from digat_tpu.models.model import Model
+    from digat_tpu.train.train_step import make_shardmap_train_step
+
+    cfg = dataclasses.replace(graft._tiny_config(), use_pallas=False)
+    cfg.dropout_rate = 0.0
+    model = Model(cfg)
+    tables, batch = graft._tiny_data(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.weight_decay, cfg.gradient_clip_norm, params)
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    step = make_shardmap_train_step(model, tx, mesh)
+
+    sharded = dedup_shards(
+        jax.tree.map(np.asarray, batch), np.asarray(tables.news_node_id),
+        capacity=64, n_shards=8,
+    )
+    assert sharded is not None and sharded.uniq_ids.shape == (8, 64)
+
+    def run(b):
+        p = jax.device_put(
+            jax.tree.map(jnp.array, params), mesh_lib.replicated(mesh)
+        )
+        o = jax.device_put(tx.init(params), mesh_lib.replicated(mesh))
+        t = jax.device_put(tables, mesh_lib.replicated(mesh))
+        b = mesh_lib.shard_batch_arrays(mesh, b)
+        p, o, loss = step(p, o, t, b, jax.random.PRNGKey(3), jnp.float32(1e-3))
+        return float(loss), jax.tree.map(np.asarray, p)
+
+    loss_plain, p_plain = run(batch)
+    loss_dedup, p_dedup = run(sharded)
+    assert abs(loss_plain - loss_dedup) < 1e-5, (loss_plain, loss_dedup)
+    # the gather-VJP scatter-add reorders gradient accumulation vs the
+    # dense path; Adam's rescaling amplifies that on near-zero grads
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_dedup)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-5)
+
+
 def test_dryrun_multichip_entry():
     graft.dryrun_multichip(8)
 
