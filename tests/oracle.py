@@ -161,6 +161,33 @@ def mha_np(p, x, heads):
     return out.reshape(B, L, heads * d_v)
 
 
+def conv1d_bank_np(params, x, widths):
+    """Oracle of the conv bank (layers.py conv1d_bank): per width, same-pad
+    1-D conv (odd widths symmetric; even widths one extra right zero),
+    concat, relu. x: [N, L, Cin] -> [N, L, kernel_num]."""
+    N, L, _ = x.shape
+    outs = []
+    for p, width in zip(params["convs"], widths):
+        w = np.asarray(p["w"], np.float64)  # [width, Cin, Cout]
+        b = np.asarray(p["b"], np.float64)
+        pad = (width - 1) // 2
+        rpad = pad if width % 2 == 1 else pad + 1
+        xp = np.pad(x, ((0, 0), (pad, rpad), (0, 0)))
+        acc = np.zeros((N, L, w.shape[2]))
+        for t in range(width):
+            acc += xp[:, t : t + L] @ w[t]
+        outs.append(acc + b)
+    return np.maximum(np.concatenate(outs, axis=-1), 0.0)
+
+
+def cnn_encode_np(params, tokens, mask, widths):
+    """Oracle of the CNN news encoder, eval mode (newsEncoders.py:29-54):
+    GloVe lookup -> conv bank + relu -> masked tanh-MLP pooling."""
+    emb = np.asarray(params["word_embedding"], np.float64)
+    h = conv1d_bank_np(params["conv"], emb[tokens], widths)
+    return attn_pool(params["pool"], h, mask)
+
+
 def msa_encode_np(params, tokens, mask, heads):
     """Oracle of the MSA news encoder, eval mode (newsEncoders.py:57-82):
     GloVe lookup -> 16-head self-attention -> relu -> masked tanh-MLP

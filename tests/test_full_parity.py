@@ -160,6 +160,45 @@ def test_full_model_eval_parity_vs_fp64_oracle():
 
 
 @pytest.mark.slow
+def test_full_model_eval_parity_cnn_vs_fp64_oracle():
+    """Same whole-model bound for the CNN news-encoder variant."""
+    from digat_tpu.layers import conv_bank_widths
+
+    cfg = _real_geometry_config(news_encoder="CNN", batch_size=32)
+    model = Model(cfg)
+    rng = np.random.default_rng(13)
+    tables = _synthetic_tables(cfg, rng)
+    batch = _train_batch(cfg, rng, cfg.batch_size)
+    params = model.init(jax.random.PRNGKey(0))
+
+    dbatch = _dedup(cfg, tables, batch,
+                    with_emb_meta=jax.default_backend() == "tpu")
+    logits = np.asarray(
+        jax.jit(lambda p, t, b: model.forward_indexed(
+            p, t, b, jax.random.PRNGKey(1), train=False
+        ))(params, tables, dbatch)
+    )
+
+    pn = jax.tree.map(np.asarray, params)
+    news_reps = oracle.cnn_encode_np(
+        pn["news_encoder"], np.asarray(tables.news_title_text),
+        np.asarray(tables.news_title_mask),
+        conv_bank_widths(cfg.cnn_method, cfg.cnn_window_size),
+    )
+    ref = oracle.model_eval_np(
+        pn["graph_encoder"], cfg.graph_encoder, cfg.graph_depth,
+        cfg.max_history_num, cfg.category_num, cfg.MSA_head_num,
+        news_reps, np.asarray(tables.news_node_id),
+        np.asarray(tables.news_graph), np.asarray(tables.news_graph_mask),
+        np.asarray(batch.history_idx), np.asarray(batch.cat_idx),
+        np.asarray(batch.sample_idx),
+    )
+    err = np.abs(logits - ref).max() / np.abs(ref).max()
+    print(f"CNN eval parity: rel err {err:.3e}")
+    assert err < 1e-4, f"logit drift {err:.3e} exceeds the 1e-4 parity bar"
+
+
+@pytest.mark.slow
 def test_full_model_grad_parity_vs_fp64():
     """Production fp32 gradients vs the float64 composition (dropout off)."""
     cfg = _real_geometry_config(dropout_rate=0.0, batch_size=16)
