@@ -37,8 +37,19 @@ def generate(
     users: int = 80,
     max_impressions: int = 10,
     seed: int = 0,
+    pref_alpha: float = 0.5,
+    click_base: float = 0.15,
+    click_scale: float = 0.8,
+    min_history: int = 0,
+    max_history: int = 20,
 ) -> None:
-    """Write train/dev/test splits under `root` in MIND layout."""
+    """Write train/dev/test splits under `root` in MIND layout.
+
+    `pref_alpha` controls how peaked the latent user-category preference is
+    (smaller = sharper = more learnable clicks); `click_base`/`click_scale`
+    set P(click) = base + scale * pref[category]. Defaults keep the
+    original weak-signal behavior; the parity study uses sharper values so
+    both frameworks have headroom to separate from AUC=0.5."""
     rng = np.random.default_rng(seed)
     cats = _CATEGORIES[:categories]
 
@@ -69,7 +80,7 @@ def generate(
         "test": range(n_dev, news_num),
     }
 
-    user_pref = rng.dirichlet(np.ones(len(cats)) * 0.5, size=users)  # [U, C]
+    user_pref = rng.dirichlet(np.ones(len(cats)) * pref_alpha, size=users)  # [U, C]
     cat_of = np.asarray([cats.index(c) for c in news_cat])
 
     def write_news(path: str, extra: range) -> None:
@@ -88,11 +99,14 @@ def generate(
                 pref = user_pref[u]
                 p_news = pref[cat_of[visible]]
                 p_news = p_news / p_news.sum()
-                hist_len = rng.integers(0, 20)
+                hist_len = rng.integers(min_history, max_history)
                 history = rng.choice(visible, size=hist_len, replace=False, p=p_news)
                 n_imp = rng.integers(2, max_impressions + 1)
                 imp = rng.choice(visible, size=n_imp, replace=False)
-                clicks = (rng.random(n_imp) < 0.15 + 0.8 * pref[cat_of[imp]]).astype(int)
+                clicks = (
+                    rng.random(n_imp)
+                    < click_base + click_scale * pref[cat_of[imp]]
+                ).astype(int)
                 if clicks.sum() == 0:
                     clicks[rng.integers(n_imp)] = 1
                 if clicks.sum() == n_imp:

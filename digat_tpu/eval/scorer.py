@@ -45,22 +45,97 @@ def _host_value(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
-class CachedScorer:
-    """Holds the jitted stage functions for one model."""
+def _local_eval_mesh():
+    """1-axis mesh over this process's devices for sharded eval stages.
+    None on a single device (the plain-jit path serves it)."""
+    devs = jax.local_devices()
+    if len(devs) < 2:
+        return None
+    from jax.sharding import Mesh
 
-    def __init__(self, model: Model, batch_size: int = 1024):
+    return Mesh(np.asarray(devs), ("data",))
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _specs_like(tree, spec):
+    return jax.tree.map(lambda _: spec, tree)
+
+
+def _shard_chunk_fn(mesh, per_dev: int, fn):
+    """shard_map a stage-1 chunk function `fn(params, *tables, start)` over
+    the local `data` axis: every device processes its own `per_dev`-row
+    sub-chunk of the replicated tables (offset by axis index), outputs
+    concatenate along the chunk axis. Under plain jit the Pallas stage
+    kernels would be opaque custom calls and REPLICATE onto every device —
+    the same wart the train step solved (train/train_step.py:37-56)."""
+    from jax.sharding import PartitionSpec as P
+
+    def offset(params, *args):
+        *tables, start = args
+        start = start + jax.lax.axis_index("data") * per_dev
+        return fn(params, *tables, start)
+
+    def wrapped(params, *args):
+        return jax.shard_map(
+            offset, mesh=mesh,
+            in_specs=(_specs_like(params, P()),) + (P(),) * len(args),
+            out_specs=P("data"),
+            check_vma=False,
+        )(params, *args)
+
+    return jax.jit(wrapped)
+
+
+def _shard_score_fn(mesh, fn):
+    """shard_map the stage-2 scorer `fn(params, *caches, batch)`: batch
+    split along items, params/tables/caches replicated. This closes the
+    per-device version of the reference's idle-non-main-ranks eval wart
+    (trainer.py:109-114) one level down: all local chips score."""
+    from jax.sharding import PartitionSpec as P
+
+    def wrapped(params, *args):
+        *rep, batch = args
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(_specs_like(params, P()),)
+            + tuple(_specs_like(t, P()) for t in rep)
+            + (_specs_like(batch, P("data")),),
+            out_specs=P("data"),
+            check_vma=False,
+        )(params, *rep, batch)
+
+    return jax.jit(wrapped)
+
+
+class CachedScorer:
+    """Holds the jitted stage functions for one model.
+
+    With >1 local device the three stages run under `shard_map` over a
+    local `data` mesh: stage-1 chunks are split n_dev ways (each device
+    encodes / contextifies 1/n of the news chunk) and stage-2 batches are
+    split along the item axis; tables and caches stay replicated. One
+    device falls back to the measured plain-jit path."""
+
+    def __init__(self, model: Model, batch_size: int = 1024, mesh=None):
         self.model = model
-        self.batch_size = batch_size
+        self.mesh = _local_eval_mesh() if mesh is None else (mesh or None)
+        n_dev = int(self.mesh.devices.size) if self.mesh is not None else 1
+        self.batch_size = batch_size = _round_up(batch_size, n_dev)
+        per_dev = batch_size // n_dev
+        chunk = per_dev if self.mesh is not None else batch_size
         cfg = model.config
 
         def encode_chunk(params, text, mask, start):
-            text = jax.lax.dynamic_slice_in_dim(text, start, batch_size)
-            mask = jax.lax.dynamic_slice_in_dim(mask, start, batch_size)
+            text = jax.lax.dynamic_slice_in_dim(text, start, chunk)
+            mask = jax.lax.dynamic_slice_in_dim(mask, start, chunk)
             return model.encode_news(params, text, mask)
 
         def c_n0_chunk(params, node_id, gmask, news_reps, start):
-            node_id = jax.lax.dynamic_slice_in_dim(node_id, start, batch_size)
-            gmask = jax.lax.dynamic_slice_in_dim(gmask, start, batch_size)
+            node_id = jax.lax.dynamic_slice_in_dim(node_id, start, chunk)
+            gmask = jax.lax.dynamic_slice_in_dim(gmask, start, chunk)
             sag = news_reps[node_id]  # [b, Gn, D]
             return model.initial_news_context(params, sag, gmask)
 
@@ -78,9 +153,14 @@ class CachedScorer:
                 sag, graph, gmask, c_n0[batch.cand_idx],
             )
 
-        self._encode_chunk = jax.jit(encode_chunk)
-        self._c_n0_chunk = jax.jit(c_n0_chunk)
-        self._score_batch = jax.jit(score_batch)
+        if self.mesh is not None:
+            self._encode_chunk = _shard_chunk_fn(self.mesh, per_dev, encode_chunk)
+            self._c_n0_chunk = _shard_chunk_fn(self.mesh, per_dev, c_n0_chunk)
+            self._score_batch = _shard_score_fn(self.mesh, score_batch)
+        else:
+            self._encode_chunk = jax.jit(encode_chunk)
+            self._c_n0_chunk = jax.jit(c_n0_chunk)
+            self._score_batch = jax.jit(score_batch)
 
     # ------------------------------------------------------------------
     def cache_news(self, params, tables: CorpusTables):
@@ -142,16 +222,20 @@ class NRMSCachedScorer:
     cached plain reps — the fusion attends over neighbor reps produced by
     the same tower) score candidates."""
 
-    def __init__(self, model, batch_size: int = 1024):
+    def __init__(self, model, batch_size: int = 1024, mesh=None):
         self.model = model
-        self.batch_size = batch_size
+        self.mesh = _local_eval_mesh() if mesh is None else (mesh or None)
+        n_dev = int(self.mesh.devices.size) if self.mesh is not None else 1
+        self.batch_size = batch_size = _round_up(batch_size, n_dev)
+        per_dev = batch_size // n_dev
+        chunk = per_dev if self.mesh is not None else batch_size
         st = model.st
 
         def encode_chunk(params, text, mask, start):
             import jax.random as jr
 
-            text = jax.lax.dynamic_slice_in_dim(text, start, batch_size)
-            mask = jax.lax.dynamic_slice_in_dim(mask, start, batch_size)
+            text = jax.lax.dynamic_slice_in_dim(text, start, chunk)
+            mask = jax.lax.dynamic_slice_in_dim(mask, start, chunk)
             return model._encode_titles(
                 params, st, jr.PRNGKey(0), False, text, mask
             )
@@ -159,8 +243,8 @@ class NRMSCachedScorer:
         def fuse_chunk(params, plain_reps, aug_ids, start):
             import jax.random as jr
 
-            ids = jax.lax.dynamic_slice_in_dim(aug_ids, start, batch_size)
-            own = jax.lax.dynamic_slice_in_dim(plain_reps, start, batch_size)
+            ids = jax.lax.dynamic_slice_in_dim(aug_ids, start, chunk)
+            own = jax.lax.dynamic_slice_in_dim(plain_reps, start, chunk)
             aug = plain_reps[ids]  # [b, M, D]
             return model._fuse_sa(params, st, jr.PRNGKey(0), False, own, aug)
 
@@ -169,9 +253,14 @@ class NRMSCachedScorer:
             user = model.encode_user(params, hist, batch.history_idx != 0)
             return jnp.einsum("bd,bd->b", cand_reps[batch.cand_idx], user)
 
-        self._encode_chunk = jax.jit(encode_chunk)
-        self._fuse_chunk = jax.jit(fuse_chunk)
-        self._score_batch = jax.jit(score_batch)
+        if self.mesh is not None:
+            self._encode_chunk = _shard_chunk_fn(self.mesh, per_dev, encode_chunk)
+            self._fuse_chunk = _shard_chunk_fn(self.mesh, per_dev, fuse_chunk)
+            self._score_batch = _shard_score_fn(self.mesh, score_batch)
+        else:
+            self._encode_chunk = jax.jit(encode_chunk)
+            self._fuse_chunk = jax.jit(fuse_chunk)
+            self._score_batch = jax.jit(score_batch)
 
     def cache_news(self, params, tables):
         n = tables.news_title_text.shape[0]

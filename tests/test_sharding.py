@@ -162,3 +162,72 @@ def test_entry_compiles():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (args[2].sample_idx.shape[0], args[2].sample_idx.shape[1])
+
+
+def test_sharded_eval_matches_single_device():
+    """Eval stages under shard_map over the 8-device local mesh must equal
+    the single-device scorer exactly (mirror of the train-step DP test;
+    closes the reference's idle-ranks eval wart one level down,
+    trainer.py:109-114)."""
+    from digat_tpu.eval.scorer import CachedScorer
+    from digat_tpu.models.model import Model
+
+    cfg = graft._tiny_config()
+    model = Model(cfg)
+    news_num = 50
+    tables, _ = graft._tiny_data(cfg, news_num=news_num)
+    params = model.init(jax.random.PRNGKey(3))
+
+    rng = np.random.default_rng(1)
+    rows, n_items, H = 40, 70, cfg.max_history_num
+    history_idx = rng.integers(0, news_num, (rows, H)).astype(np.int32)
+    cat_idx = rng.integers(0, cfg.category_num + 1, (rows, H)).astype(np.int32)
+    imp_index = np.sort(rng.integers(0, rows, n_items)).astype(np.int32)
+    cand = rng.integers(0, news_num, n_items).astype(np.int32)
+
+    single = CachedScorer(model, batch_size=16, mesh=False)
+    assert single.mesh is None
+    sharded = CachedScorer(model, batch_size=16)  # auto: 8-device local mesh
+    assert sharded.mesh is not None and sharded.mesh.devices.size == 8
+
+    s1 = single.score_items(params, tables, history_idx, cat_idx, imp_index, cand)
+    s8 = sharded.score_items(params, tables, history_idx, cat_idx, imp_index, cand)
+    np.testing.assert_allclose(s1, s8, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_eval_nrms_matches_single_device():
+    from digat_tpu.eval.scorer import NRMSCachedScorer
+    from digat_tpu.models.nrms import NRMSModel, NRMSTables
+
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        graft._tiny_config(), model_family="nrms", nrms_model="NRMS-SA",
+        augmented_news_num=4,
+    )
+    model = NRMSModel(cfg)
+    news_num = 50
+    rng = np.random.default_rng(2)
+    L = cfg.max_title_length
+    tables = NRMSTables(
+        news_title_text=jnp.asarray(
+            rng.integers(0, cfg.vocabulary_size, (news_num, L)), jnp.int32
+        ),
+        news_title_mask=jnp.asarray(rng.random((news_num, L)) < 0.8),
+        augmented_news=jnp.asarray(
+            rng.integers(0, news_num, (news_num, cfg.augmented_news_num)),
+            jnp.int32,
+        ),
+    )
+    params = model.init(jax.random.PRNGKey(4))
+    rows, n_items, H = 30, 55, cfg.max_history_num
+    history_idx = rng.integers(0, news_num, (rows, H)).astype(np.int32)
+    cat_idx = rng.integers(0, cfg.category_num + 1, (rows, H)).astype(np.int32)
+    imp_index = np.sort(rng.integers(0, rows, n_items)).astype(np.int32)
+    cand = rng.integers(0, news_num, n_items).astype(np.int32)
+
+    single = NRMSCachedScorer(model, batch_size=16, mesh=False)
+    sharded = NRMSCachedScorer(model, batch_size=16)
+    s1 = single.score_items(params, tables, history_idx, cat_idx, imp_index, cand)
+    s8 = sharded.score_items(params, tables, history_idx, cat_idx, imp_index, cand)
+    np.testing.assert_allclose(s1, s8, rtol=1e-6, atol=1e-6)
