@@ -222,17 +222,18 @@ def run_ours(workdir: str, seed: int, graph_encoder: str,
         return json.load(f)
 
 
-def collect_ours(workdir: str, cfg, log: str) -> dict:
+def collect_ours(workdir: str, cfg, log: str, model_name: str = "") -> dict:
     """Parse digat_tpu's run artifacts (dev_log.txt + #N-test) for the
     freshest run index of this model."""
+    model_name = model_name or cfg.model_name
     results_dir = os.path.join(cfg.run_root, "results", cfg.dataset,
-                               cfg.model_name)
+                               model_name)
     indices = [
         int(n[1:-4]) for n in os.listdir(results_dir)
         if n.startswith("#") and n.endswith("-dev")
     ]
     run_index = max(indices)
-    run_dir = os.path.join(cfg.run_root, cfg.dataset, cfg.model_name,
+    run_dir = os.path.join(cfg.run_root, cfg.dataset, model_name,
                            f"#{run_index}")
     per_epoch = []
     with open(os.path.join(run_dir, "dev_log.txt")) as f:
@@ -256,12 +257,127 @@ def collect_ours(workdir: str, cfg, log: str) -> dict:
                 "ndcg5": float(parts[3]), "ndcg10": float(parts[4])}
     best = per_epoch[best_epoch - 1]
     return {
-        "framework": "digat_tpu", "model": cfg.model_name, "seed": cfg.seed,
+        "framework": "digat_tpu", "model": model_name, "seed": cfg.seed,
         "run_index": run_index, "best_dev_epoch": best_epoch,
         "per_epoch": per_epoch,
         "dev": {k: best[k] for k in ("auc", "mrr", "ndcg5", "ndcg10")},
         "test": test,
     }
+
+
+# ---------------------------------------------------------------------------
+# Appendix-B NRMS / NRMS-SA leg
+# ---------------------------------------------------------------------------
+
+NRMS_GEOMETRY = dict(  # reference Appendix-B names
+    word_embedding_dim=100, head_num=10, head_dim=20, attention_dim=64,
+    max_title_length=16, max_history_num=16, negative_sample_num=4,
+    batch_size=32, lr=1e-3, epoch=8, early_stopping_epoch=5,
+    word_threshold=3, dev_criterion="avg", augmented_news_num=10,
+)
+
+
+def our_nrms_config(workdir: str, seed: int, nrms_model: str = "NRMS-SA"):
+    over = dict(
+        model_family="nrms", nrms_model=nrms_model,
+        nrms_head_num=NRMS_GEOMETRY["head_num"],
+        nrms_head_dim=NRMS_GEOMETRY["head_dim"],
+        nrms_attention_dim=NRMS_GEOMETRY["attention_dim"],
+        augmented_news_num=NRMS_GEOMETRY["augmented_news_num"],
+    )
+    return our_config(workdir, seed, **over)
+
+
+def build_our_nrms_cache(workdir: str) -> None:
+    """Build the augmented-news artifact (construct_sa_sequence) once."""
+    from digat_tpu.data import corpus as corpus_lib
+
+    cfg = our_nrms_config(workdir, seed=0)
+    corpus_lib.preprocess(cfg, glove_path=os.path.join(workdir, "glove.txt"),
+                          verbose=True)
+
+
+def convert_augmented_to_reference(workdir: str, refb_rundir: str) -> None:
+    """digat_tpu augmented_news npz -> Appendix-B's
+    semantic_augmented_news pkl (int32 [news_num, M];
+    Appendix-B/MIND_corpus.py:112-121)."""
+    cfg = our_nrms_config(workdir, seed=0)
+    cache = os.path.join(cfg.data_root, f"{cfg.dataset}-cache")
+    src = os.path.join(cache, f"augmented_news-{cfg.augmented_news_num}.npz")
+    dst = os.path.join(
+        refb_rundir,
+        f"semantic_augmented_news-{cfg.augmented_news_num}-MIND-small.pkl",
+    )
+    if os.path.exists(dst):
+        return
+    aug = np.load(src)["augmented_news"].astype(np.int32)
+    with open(dst, "wb") as f:
+        pickle.dump(aug, f, protocol=4)
+
+
+def run_reference_nrms(workdir: str, seed: int, nrms_model: str) -> dict:
+    rundir = os.path.join(workdir, "refb", "appendix", "run")
+    out = os.path.join(workdir, f"refb-{nrms_model}-seed{seed}.json")
+    if not os.path.exists(out):
+        over = dict(NRMS_GEOMETRY)
+        over.update(seed=seed, model=nrms_model)
+        cmd = [
+            sys.executable,
+            os.path.join(REPO, "scripts/parity/ref_harness_nrms.py"),
+            "--workdir", rundir,
+            "--glove-txt", os.path.join(workdir, "glove.txt"),
+            "--config-json", json.dumps(over),
+            "--out", out,
+        ]
+        subprocess.run(cmd, check=True)
+    with open(out) as f:
+        return json.load(f)
+
+
+def run_ours_nrms(workdir: str, seed: int, nrms_model: str) -> dict:
+    out = os.path.join(workdir, f"ours-{nrms_model}-seed{seed}.json")
+    if not os.path.exists(out):
+        cfg = our_nrms_config(workdir, seed, nrms_model)
+        flags = []
+        for k, v in vars(cfg).items():
+            if k in ("vocabulary_size", "category_num", "user_num"):
+                continue
+            flags += [f"--{k}", str(v)]
+        runner = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; from digat_tpu.cli import main; main(sys.argv[1:])"
+        )
+        cmd = [sys.executable, "-c", runner] + flags
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = REPO
+        log = out.replace(".json", ".stdout")
+        with open(log, "w") as lf:
+            subprocess.run(cmd, check=True, env=env, cwd=REPO,
+                           stdout=lf, stderr=subprocess.STDOUT)
+        result = collect_ours(workdir, cfg, log, model_name=nrms_model)
+        with open(out, "w") as f:
+            json.dump(result, f, indent=2)
+    with open(out) as f:
+        return json.load(f)
+
+
+def run_nrms_matrix(wd: str, seeds, nrms_models) -> list:
+    refb_run = os.path.join(wd, "refb", "appendix", "run")
+    os.makedirs(refb_run, exist_ok=True)
+    link = os.path.join(wd, "refb", "MIND-small")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(wd, "data", "MIND-small"), link)
+    build_our_nrms_cache(wd)
+    convert_augmented_to_reference(wd, refb_run)
+    rows = []
+    for nrms_model in nrms_models:
+        for seed in seeds:
+            print(f"[parity] digat_tpu {nrms_model} seed {seed}", flush=True)
+            rows.append(run_ours_nrms(wd, seed, nrms_model))
+            print(f"[parity] reference {nrms_model} seed {seed}", flush=True)
+            rows.append(run_reference_nrms(wd, seed, nrms_model))
+    return rows
 
 
 def summarize(rows: list) -> dict:
@@ -316,6 +432,8 @@ def main(argv=None):
     ap.add_argument("--news-encoder", default="MSA")
     ap.add_argument("--frameworks", nargs="+",
                     default=["reference", "digat_tpu"])
+    ap.add_argument("--nrms-models", nargs="+", default=[],
+                    help="Appendix-B leg: e.g. NRMS-SA NRMS")
     args = ap.parse_args(argv)
     pin_cpu()
 
@@ -345,11 +463,23 @@ def main(argv=None):
                 rows.append(run_reference(wd, seed, graph_encoder,
                                           args.news_encoder))
                 check_dict_consistency(wd, cache_dir)
+    rows += run_nrms_matrix(wd, args.seeds, args.nrms_models)
+
+    # merge with prior runs (the matrix is built up across invocations)
+    out = os.path.join(REPO, "docs", "PARITY_RESULTS.json")
+    if os.path.exists(out):
+        with open(out) as f:
+            prior = json.load(f).get("runs", [])
+        seen = {(r["framework"], r["model"], r["seed"]) for r in rows}
+        rows += [
+            r for r in prior
+            if (r["framework"], r["model"], r["seed"]) not in seen
+        ]
     summary = {
-        "geometry": GEOMETRY, "dataset": DATASET,
+        "geometry": GEOMETRY, "nrms_geometry": NRMS_GEOMETRY,
+        "dataset": DATASET,
         "summary": summarize(rows), "runs": rows,
     }
-    out = os.path.join(REPO, "docs", "PARITY_RESULTS.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(f"[parity] wrote {out}")

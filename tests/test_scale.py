@@ -45,3 +45,28 @@ def test_mind_large_scale_preprocess_and_scoring():
     # peak RSS: compact encodings must stay far under the reference's
     # materialized-adjacency blow-up (~9 GB adjacency + pickle overhead)
     assert stats["peak_rss_gb"] < 12.0, stats
+
+
+@pytest.mark.slow
+def test_glove_and_sag_at_reference_magnitude():
+    """The two preprocessing stages the reference feeds its largest single
+    artifacts through: GloVe-840B-shaped parsing (2.2M lines x 300d,
+    MIND_corpus.py:89-108) and per-category SAG mining over ~104k news
+    (construct_SAG.py:126-162). Bounds wall-clock + RSS so a multi-hour
+    surprise on first real-data use is impossible."""
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "scale_sag_child.py")],
+        capture_output=True, text=True, timeout=2400, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    print(f"sag/glove scale stats: {stats}")
+    assert stats["sag_news"] > 100_000
+    # calibrated on the 4-core CI machine with ~3x headroom
+    assert stats["glove_parse_s"] < 420, stats
+    assert stats["sag_s"] < 900, stats
+    assert stats["peak_rss_gb"] < 24.0, stats
