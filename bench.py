@@ -102,11 +102,20 @@ def main():
     # the fused-kernel grid and the stage-2 gathers
     eval_bs = 512
     scorer = CachedScorer(model, eval_bs)
+    # first call pays the (remote) compile; a second full pass over the
+    # same jitted stages is the steady-state cost users see per eval epoch
+    # — the two are reported separately (r01->r02 the combined number
+    # drifted 20.1->26.5 s purely from compile variance)
     t0 = time.time()
     news_reps, c_n0 = scorer.cache_news(params, tables)
-    news_reps.block_until_ready()
-    stage1_s = time.time() - t0
-    log(f"stage1 (cache {news_num} news): {stage1_s:.2f}s")
+    float(jnp.sum(c_n0))  # tunnel-proof completion barrier
+    stage1_first_s = time.time() - t0
+    t0 = time.time()
+    news_reps, c_n0 = scorer.cache_news(params, tables)
+    float(jnp.sum(c_n0))
+    stage1_steady_s = time.time() - t0
+    log(f"stage1 (cache {news_num} news): first {stage1_first_s:.2f}s "
+        f"(incl. compile), steady {stage1_steady_s:.2f}s")
 
     def make_eval_batch(seed):
         r = np.random.default_rng(seed)
@@ -343,7 +352,8 @@ def main():
                     "train_samples_per_s_bf16": round(train16, 1),
                     "train_samples_per_s_b256": round(train_big, 1),
                     "inference_items_per_s_bf16": round(items16, 1),
-                    "stage1_cache_s": round(stage1_s, 2),
+                    "stage1_first_s": round(stage1_first_s, 2),
+                    "stage1_steady_s": round(stage1_steady_s, 2),
                     "backend": backend,
                     "baseline": "RTX3090 fp32 ~600s MIND-small test ~= 4500 items/s",
                 },

@@ -64,11 +64,6 @@ VARIANTS = (
 # is what ships, so the fused kernel is on by default.
 _FUSED_LAYER_MIN_NODES = int(os.environ.get("DIGAT_FUSED_MIN_NODES", "0"))
 
-# Fused TRAIN-mode GAT layer (ops/pallas/gat_layer_train.py): measured
-# slower than the composed path on v5e (see the comment at the use site);
-# off unless explicitly requested.
-_FUSED_TRAIN_LAYER = os.environ.get("DIGAT_FUSED_TRAIN_LAYER", "0") == "1"
-
 
 class GraphStatic(NamedTuple):
     """Static (trace-time) configuration of a graph encoder."""
@@ -213,48 +208,28 @@ def _gat_layer(gat, i, st, rng, train, x, adj, query):
             gat["ffn3"]["w"][i], gat["ffn3"]["b"][i],
             gat["a"]["w"][i, :, 0],
         )
+    # NOTE: a fully-fused TRAINING-mode layer kernel (fwd+bwd pair) was
+    # built, validated, and deleted after losing to this composed path on
+    # v5e twice (round 2: 36.9 vs 22.1 ms graph fwd+bwd at B=320; round-3
+    # re-analysis with fresh traces in docs/PERF.md). Its bwd recompute
+    # fits the 16M scoped-VMEM limit only at tiny batch tiles (TB=2 on the
+    # user graph), serializing the MXU projections XLA runs at full batch,
+    # and a store-residuals variant trades ~3 ms of VPU recompute for
+    # ~3 ms of HBM probs/activation round-trip — structurally a wash. The
+    # composed path with the custom-VJP score kernel is the production
+    # train path; see git history (ops/pallas/gat_layer_train.py) for the
+    # kernel.
     r_in, r_alpha = jax.random.split(rng)
-    if (
-        train
-        and query is not None
-        and st.use_pallas
-        and st.dropout_rate > 0
-        and _FUSED_TRAIN_LAYER
-        and pallas_available()
-    ):
-        # whole training layer (dropout, projections, Eq.(8) scores, masked
-        # softmax, attention dropout, aggregation, residual) as one fused
-        # fwd+bwd kernel pair; the keep-masks are drawn here from exactly
-        # the streams the unfused path uses, so the math is identical.
-        # MEASURED SLOWER than the composed path on v5e (36.9 vs 22.1 ms
-        # graph-encoder fwd+bwd at B=320): the bwd recompute only fits the
-        # 16M scoped-VMEM limit at tiny batch tiles (TB=2 for the user
-        # graph), which serializes the MXU projections XLA otherwise runs
-        # at full batch. Kept behind DIGAT_FUSED_TRAIN_LAYER=1 for future
-        # hardware where the VMEM/latency balance differs; the composed
-        # path with the custom-VJP score kernel is the default.
-        from digat_tpu.ops.pallas.gat_layer_train import (
-            interactive_gat_layer_train,
-        )
-
-        B, G = x.shape[:2]
-        in_rate = st.dropout_rate / 2
-        m1 = jax.random.bernoulli(r_in, 1.0 - in_rate, x.shape)
-        m2 = jax.random.bernoulli(r_alpha, 1.0 - st.dropout_rate, (B, G, G))
-        return interactive_gat_layer_train(
-            x, adj, query, m1, m2,
-            gat["W"]["w"][i], gat["W"]["b"][i],
-            gat["ffn1"]["w"][i], gat["ffn2"]["w"][i],
-            gat["ffn3"]["w"][i], gat["ffn3"]["b"][i],
-            gat["a"]["w"][i, :, 0],
-            input_rate=in_rate, attn_rate=st.dropout_rate,
-        )
     x = L.dropout(r_in, x, st.dropout_rate / 2, train)
     if query is not None:
         # one [D, 3D] matmul for the three per-node projections: at the
         # training batch (320 rows) three separate [*, 400]x[400, 400]
         # products leave the MXU badly underutilized — the fused product
-        # is mathematically identical (bias added to the W slice only)
+        # is mathematically identical (bias added to the W slice only).
+        # A/B-measured (round 3): splitting back into three dense matmuls
+        # to remove the minor-dim slices feeding the score custom-call is
+        # SLOWER (56.6 vs 55.8 ms/step at B=64) — the slice relayouts cost
+        # less than the lost matmul fusion.
         D = x.shape[-1]
         wcat = jnp.concatenate(
             [gat["W"]["w"][i], gat["ffn1"]["w"][i], gat["ffn2"]["w"][i]],

@@ -349,63 +349,6 @@ def test_emb_grad_sorted_rowsum(tpu):
     assert float(jnp.abs(dk - ds).max()) / scale < 1e-5
 
 
-def test_gat_layer_train_fused(tpu):
-    """Fused training GAT layer (fwd+bwd) vs the XLA composition at the
-    production user-graph shape, including dropout-mask equivalence."""
-    import jax
-    import jax.numpy as jnp
-
-    from digat_tpu.ops.pallas.gat_layer_train import (
-        _layer_xla, interactive_gat_layer_train)
-
-    rng = np.random.default_rng(11)
-    for B, G, D in [(40, 68, 400), (40, 26, 400), (13, 26, 400)]:
-        x = jnp.asarray(rng.standard_normal((B, G, D)) * 0.3, jnp.float32)
-        adj = jnp.asarray((rng.random((B, G, G)) < 0.3) | np.eye(G, dtype=bool))
-        q = jnp.asarray(rng.standard_normal((B, D)) * 0.3, jnp.float32)
-        m1 = jnp.asarray(rng.random((B, G, D)) < 0.9)
-        m2 = jnp.asarray(rng.random((B, G, G)) < 0.8)
-        W, W1, W2, W3 = (
-            jnp.asarray(rng.standard_normal((D, D)) * 0.05, jnp.float32)
-            for _ in range(4)
-        )
-        bW, b3, a = (
-            jnp.asarray(rng.standard_normal(D) * 0.05, jnp.float32)
-            for _ in range(3)
-        )
-        cv = jnp.asarray(rng.standard_normal((B, G, D)) * 0.1, jnp.float32)
-
-        @jax.jit
-        def both(x, q, W, bW, W1, W2, W3, b3, a):
-            args = (x, adj, q, m1, m2, W, bW, W1, W2, W3, b3, a)
-            lf = lambda *a_: jnp.sum(
-                interactive_gat_layer_train(
-                    a_[0], adj, a_[1], m1, m2, *a_[2:],
-                    input_rate=0.1, attn_rate=0.2,
-                ) * cv
-            )
-            lx = lambda *a_: jnp.sum(
-                _layer_xla(a_[0], adj, a_[1], m1, m2, *a_[2:],
-                           scale1=1 / 0.9, scale2=1 / 0.8, slope=0.2) * cv
-            )
-            wrt = (x, q, W, bW, W1, W2, W3, b3, a)
-            of = interactive_gat_layer_train(
-                *args, input_rate=0.1, attn_rate=0.2)
-            ox = _layer_xla(*args, 1 / 0.9, 1 / 0.8, 0.2)
-            gf = jax.grad(lambda t: lf(*t))(wrt)
-            gx = jax.grad(lambda t: lx(*t))(wrt)
-            return of, ox, gf, gx
-
-        of, ox, gf, gx = both(x, q, W, bW, W1, W2, W3, b3, a)
-        rel = float(jnp.abs(of - ox).max()) / float(jnp.abs(ox).max())
-        assert rel < 5e-3, (B, G, rel)
-        for a_, b_ in zip(gf, gx):
-            scale = float(jnp.abs(b_).max()) + 1e-6
-            # both sides run DEFAULT-precision MXU products in different
-            # associations; ~1e-3 relative is reassociation noise
-            assert float(jnp.abs(a_ - b_).max()) / scale < 5e-3
-
-
 def test_msa_encoder_fused_dropout(tpu):
     """In-kernel dropout (on-core PRNG) of the fused MSA encoder:
     deterministic given a seed, keep rate == 1 - p, and both forward and
@@ -457,3 +400,98 @@ def test_msa_encoder_fused_dropout(tpu):
     assert float(jnp.max(jnp.abs(gf - gp))) / scale < 1e-4
     # dropped positions carry exactly zero gradient through the fused path
     assert bool(jnp.all(jnp.where(~keep, gf == 0.0, True)))
+
+
+def test_dedup_overflow_fallback_cost(tpu):
+    """When a batch's unique-title count exceeds the static dedup capacity
+    the trainer falls back to the plain TrainBatch path (train/trainer.py),
+    which is a different jit signature -> one extra compile. This measures
+    that cost at bench geometry on hardware and asserts the fallback
+    program is reused (steady-state, no per-batch recompile)."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from digat_tpu.config import Config
+    from digat_tpu.data.batching import dedup_batch
+    from digat_tpu.models.model import CorpusTables, Model, TrainBatch
+    from digat_tpu.train.optimizer import make_optimizer
+
+    cfg = Config(dataset="synthetic", vocabulary_size=40_000,
+                 category_num=18, use_pallas=True)
+    model = Model(cfg)
+    Gn, L, H, B, K = (cfg.news_graph_size, cfg.max_title_length,
+                      cfg.max_history_num, cfg.batch_size,
+                      cfg.negative_sample_num)
+    news_num = 20_000
+    r = np.random.default_rng(0)
+    tables = CorpusTables(
+        news_title_text=jnp.asarray(
+            r.integers(0, cfg.vocabulary_size, (news_num, L)), jnp.int32),
+        news_title_mask=jnp.asarray(r.random((news_num, L)) < 0.8),
+        news_node_id=jnp.asarray(
+            r.integers(0, news_num, (news_num, Gn)), jnp.int32),
+        news_graph=jnp.asarray(
+            (r.random((news_num, Gn, Gn)) < 0.25) | np.eye(Gn, dtype=bool)),
+        news_graph_mask=jnp.asarray(np.concatenate(
+            [np.zeros((news_num, 1), bool),
+             r.random((news_num, Gn - 1)) < 0.9], 1)),
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.weight_decay, cfg.gradient_clip_norm, params)
+    opt_state = tx.init(params)
+
+    def make_batch(seed):
+        rr = np.random.default_rng(seed)
+        return TrainBatch(
+            history_idx=jnp.asarray(
+                rr.integers(0, news_num, (B, H)), jnp.int32),
+            cat_idx=jnp.asarray(
+                rr.integers(0, cfg.category_num + 1, (B, H)).astype(np.int32)),
+            sample_idx=jnp.asarray(
+                rr.integers(0, news_num, (B, 1 + K)), jnp.int32),
+            weight=jnp.ones((B,), jnp.float32),
+        )
+
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(model.loss)(
+            params, tables, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -1e-4 * u, updates)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    raw = make_batch(1)
+    node_np = np.asarray(tables.news_node_id)
+    u = len(np.unique(np.concatenate([
+        node_np[np.asarray(raw.sample_idx)].ravel(),
+        np.asarray(raw.history_idx).ravel()])))
+    cap = int(np.ceil(u * 1.15 / 256) * 256)
+    db = jax.tree.map(jnp.asarray, dedup_batch(
+        raw, tables.news_node_id, cap,
+        news_title_text=np.asarray(tables.news_title_text),
+        vocab_size=cfg.vocabulary_size))
+
+    rng = jax.random.PRNGKey(7)
+    # steady-state dedup path (what every in-capacity batch runs)
+    p, o, loss_d = step(params, opt_state, db, rng)
+    assert np.isfinite(float(loss_d))
+
+    # overflow fallback: plain TrainBatch -> new jit signature -> compile
+    t0 = time.time()
+    p, o, loss_p = step(p, o, make_batch(2), rng)
+    assert np.isfinite(float(loss_p))
+    fallback_first_s = time.time() - t0
+
+    # the fallback program must be cached: further plain batches are cheap
+    t0 = time.time()
+    for s in (3, 4):
+        p, o, loss_p = step(p, o, make_batch(s), rng)
+    float(loss_p)
+    fallback_steady_s = (time.time() - t0) / 2
+    print(f"dedup-overflow fallback: first (compile) {fallback_first_s:.1f}s,"
+          f" steady {fallback_steady_s * 1e3:.0f} ms/step")
+    assert fallback_steady_s < 5.0, "fallback path recompiling per batch?"

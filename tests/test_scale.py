@@ -66,7 +66,9 @@ def test_glove_and_sag_at_reference_magnitude():
     stats = json.loads(proc.stdout.strip().splitlines()[-1])
     print(f"sag/glove scale stats: {stats}")
     assert stats["sag_news"] > 100_000
-    # calibrated on the 4-core CI machine with ~3x headroom
-    assert stats["glove_parse_s"] < 420, stats
-    assert stats["sag_s"] < 900, stats
-    assert stats["peak_rss_gb"] < 24.0, stats
+    # measured on the 4-core CI machine: glove parse 253 s (4.3 GB file),
+    # SAG mining 63 s (biggest category 22.7k news), peak RSS 6.6 GB —
+    # bounds carry ~2.5x headroom against machine noise
+    assert stats["glove_parse_s"] < 600, stats
+    assert stats["sag_s"] < 300, stats
+    assert stats["peak_rss_gb"] < 16.0, stats

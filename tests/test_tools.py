@@ -63,3 +63,89 @@ def test_sweep_points():
 def test_sweep_invalid_axis():
     with pytest.raises(AssertionError):
         parse_axis("nonsense")
+
+
+def _fixture_zip(tmp, name, files):
+    import zipfile
+
+    path = os.path.join(tmp, name)
+    with zipfile.ZipFile(path, "w") as z:
+        for fname, content in files.items():
+            z.writestr(fname, content)
+    return path
+
+
+def _behaviors(n, start=1):
+    return "".join(
+        f"{start + i}\tU{i % 7}\t11/11/2019 9:00:00 AM\tN1 N2\tN3-1 N4-0\n"
+        for i in range(n)
+    )
+
+
+NEWS = "N1\tnews\tsubnews\ttitle one\tabs\turl\t[]\t[]\n" \
+       "N2\tsports\tsubsports\ttitle two\tabs\turl\t[]\t[]\n"
+
+
+def test_prepare_mind_small_hermetic(tmp_path, monkeypatch):
+    """Drive the full acquisition path (download -> unzip -> 95/5 re-split
+    -> official-dev-becomes-test) against file:// fixture archives
+    (reference prepare_MIND_dataset.py:12-28,80-126)."""
+    from digat_tpu.data import prepare as P
+
+    tmp = str(tmp_path)
+    train_zip = _fixture_zip(tmp, "small_train.zip", {
+        "behaviors.tsv": _behaviors(40),
+        "news.tsv": NEWS,
+        "entity_embedding.vec": "N1 0.1 0.2\n",
+    })
+    dev_zip = _fixture_zip(tmp, "small_dev.zip", {
+        "behaviors.tsv": _behaviors(10, start=1000),
+        "news.tsv": NEWS,
+    })
+    monkeypatch.setitem(P.MIND_URLS, "MIND-small", {
+        "train": "file://" + train_zip, "dev": "file://" + dev_zip,
+    })
+    data_root = os.path.join(tmp, "data")
+    P.prepare("MIND-small", data_root, seed=0)
+
+    root = os.path.join(data_root, "MIND-small")
+    for split in ("train", "dev", "test"):
+        assert os.path.exists(os.path.join(root, split, "behaviors.tsv"))
+        assert os.path.exists(os.path.join(root, split, "news.tsv"))
+    with open(os.path.join(root, "train", "behaviors.tsv")) as f:
+        train_lines = f.readlines()
+    with open(os.path.join(root, "dev", "behaviors.tsv")) as f:
+        dev_lines = f.readlines()
+    # 95/5 partition of the official train behaviors, nothing lost
+    assert len(train_lines) == 38 and len(dev_lines) == 2
+    assert sorted(train_lines + dev_lines) == sorted(
+        _behaviors(40).splitlines(keepends=True))
+    # the official dev split becomes the local test split verbatim
+    with open(os.path.join(root, "test", "behaviors.tsv")) as f:
+        assert f.read() == _behaviors(10, start=1000)
+    # train-side extras ride along
+    assert os.path.exists(os.path.join(root, "train", "entity_embedding.vec"))
+    # idempotent: a second call is a no-op, not a re-download
+    monkeypatch.setitem(P.MIND_URLS, "MIND-small", {})
+    P.prepare("MIND-small", data_root, seed=0)
+
+
+def test_prepare_mind_large_hermetic(tmp_path, monkeypatch):
+    from digat_tpu.data import prepare as P
+
+    tmp = str(tmp_path)
+    urls = {}
+    for split, start in (("train", 1), ("dev", 500), ("test", 900)):
+        z = _fixture_zip(tmp, f"large_{split}.zip", {
+            "behaviors.tsv": _behaviors(5, start=start),
+            "news.tsv": NEWS,
+        })
+        urls[split] = "file://" + z
+    monkeypatch.setitem(P.MIND_URLS, "MIND-large", urls)
+    data_root = os.path.join(tmp, "data")
+    P.prepare("MIND-large", data_root)
+    root = os.path.join(data_root, "MIND-large")
+    for split, start in (("train", 1), ("dev", 500), ("test", 900)):
+        with open(os.path.join(root, split, "behaviors.tsv")) as f:
+            assert f.read() == _behaviors(5, start=start)
+        assert os.path.exists(os.path.join(root, split, "news.tsv"))
