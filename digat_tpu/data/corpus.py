@@ -392,18 +392,22 @@ class Corpus:
         self.cfg = cfg
 
     # -- device tables -----------------------------------------------------
+    # memoized: re-uploading the [news_num, Gn, Gn] graph + title tables on
+    # every eval call costs ~0.4 s on a remote-attached chip
     def tables(self):
         import jax.numpy as jnp
 
         from digat_tpu.models.model import CorpusTables
 
-        return CorpusTables(
-            news_title_text=jnp.asarray(self.news_title_text),
-            news_title_mask=jnp.asarray(self.news_title_mask),
-            news_node_id=jnp.asarray(self.news_node_id),
-            news_graph=jnp.asarray(self.news_graph),
-            news_graph_mask=jnp.asarray(self.news_graph_mask),
-        )
+        if getattr(self, "_tables", None) is None:
+            self._tables = CorpusTables(
+                news_title_text=jnp.asarray(self.news_title_text),
+                news_title_mask=jnp.asarray(self.news_title_mask),
+                news_node_id=jnp.asarray(self.news_node_id),
+                news_graph=jnp.asarray(self.news_graph),
+                news_graph_mask=jnp.asarray(self.news_graph_mask),
+            )
+        return self._tables
 
     def nrms_tables(self):
         import jax.numpy as jnp
@@ -414,11 +418,13 @@ class Corpus:
             "augmented-news artifact missing; preprocess with "
             "model_family='nrms'"
         )
-        return NRMSTables(
-            news_title_text=jnp.asarray(self.news_title_text),
-            news_title_mask=jnp.asarray(self.news_title_mask),
-            augmented_news=jnp.asarray(self.augmented_news),
-        )
+        if getattr(self, "_nrms_tables", None) is None:
+            self._nrms_tables = NRMSTables(
+                news_title_text=jnp.asarray(self.news_title_text),
+                news_title_mask=jnp.asarray(self.news_title_mask),
+                augmented_news=jnp.asarray(self.augmented_news),
+            )
+        return self._nrms_tables
 
     def num_train_samples(self) -> int:
         return len(self.train_pos)

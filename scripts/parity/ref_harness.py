@@ -144,13 +144,22 @@ def install_cpu_shims():
 def force_cpu_device(model):
     """The reference stores `self.device = torch.device('cuda')` on layer
     instances (layers.py:27, graphEncoders.py:25) and uses it to allocate
-    padding buffers in Conv1D.forward (layers.py:42)."""
+    padding buffers in Conv1D.forward (layers.py:42).
+
+    Also disables in-place dropout: the reference's CNN encoder applies
+    `nn.Dropout(inplace=True)` to the Conv1D ReLU output
+    (newsEncoders.py:51), whose autograd needs that output — under the
+    pinned torch 1.x/CUDA this passed, under torch 2.13 CPU it raises the
+    in-place-modification error. `inplace=False` computes identical math
+    (same mask, same scaling), just without mutating the buffer."""
     import torch
 
     cpu = torch.device("cpu")
     for module in model.modules():
         if hasattr(module, "device"):
             module.device = cpu
+        if isinstance(module, torch.nn.Dropout):
+            module.inplace = False
 
 
 # --------------------------------------------------------------------------

@@ -54,6 +54,7 @@ def pin_cpu() -> None:
 GEOMETRY = dict(
     word_embedding_dim=100,
     MSA_head_num=10, MSA_head_dim=20,   # news_embedding_dim = 200
+    cnn_kernel_num=200,                 # CNN cells match the MSA dim
     attention_dim=64,
     max_title_length=16,
     max_history_num=16,
@@ -191,13 +192,20 @@ def run_reference(workdir: str, seed: int, graph_encoder: str,
 
 
 def run_ours(workdir: str, seed: int, graph_encoder: str,
-             news_encoder: str) -> dict:
+             news_encoder: str, variant: str = "") -> dict:
+    """variant='dedup' re-runs digat_tpu with unique-title dedup ON
+    (dedup_titles=-1): identical titles in a batch then share dropout
+    masks — the one documented semantic deviation from the reference.
+    Comparing this cell against the dedup-off cell (and the reference)
+    bounds that deviation's effect on final metrics."""
+    tag = f"+{variant}" if variant else ""
     out = os.path.join(
-        workdir, f"ours-{news_encoder}-{graph_encoder}-seed{seed}.json"
+        workdir, f"ours-{news_encoder}-{graph_encoder}{tag}-seed{seed}.json"
     )
     if not os.path.exists(out):
+        over = {"dedup_titles": -1} if variant == "dedup" else {}
         cfg = our_config(workdir, seed, graph_encoder=graph_encoder,
-                         news_encoder=news_encoder)
+                         news_encoder=news_encoder, **over)
         flags = []
         for k, v in vars(cfg).items():
             if k in ("vocabulary_size", "category_num", "user_num"):
@@ -216,6 +224,7 @@ def run_ours(workdir: str, seed: int, graph_encoder: str,
             subprocess.run(cmd, check=True, env=env, cwd=REPO,
                            stdout=lf, stderr=subprocess.STDOUT)
         result = collect_ours(workdir, cfg, log)
+        result["model"] += tag
         with open(out, "w") as f:
             json.dump(result, f, indent=2)
     with open(out) as f:
@@ -434,6 +443,9 @@ def main(argv=None):
                     default=["reference", "digat_tpu"])
     ap.add_argument("--nrms-models", nargs="+", default=[],
                     help="Appendix-B leg: e.g. NRMS-SA NRMS")
+    ap.add_argument("--ours-variant", default="",
+                    help="'dedup': extra digat_tpu-only cells with "
+                         "unique-title dedup ON (deviation-bounding)")
     args = ap.parse_args(argv)
     pin_cpu()
 
@@ -458,6 +470,12 @@ def main(argv=None):
                 print(f"[parity] digat_tpu {graph_encoder} seed {seed}", flush=True)
                 rows.append(run_ours(wd, seed, graph_encoder,
                                      args.news_encoder))
+                if args.ours_variant:
+                    print(f"[parity] digat_tpu {graph_encoder}"
+                          f"+{args.ours_variant} seed {seed}", flush=True)
+                    rows.append(run_ours(wd, seed, graph_encoder,
+                                         args.news_encoder,
+                                         variant=args.ours_variant))
             if "reference" in args.frameworks:
                 print(f"[parity] reference {graph_encoder} seed {seed}", flush=True)
                 rows.append(run_reference(wd, seed, graph_encoder,
