@@ -129,3 +129,23 @@ def test_rank_file_is_leaderboard_format(trained, run_root):
     first = lines[0].split(" ")
     assert first[0] == "1"
     assert first[1].startswith("[") and first[1].endswith("]")
+
+
+def test_scorer_closures_cached_across_compute_scores():
+    """compute_scores must reuse one scorer (jitted stage closures) per
+    model — rebuilding per call re-traces and re-compiles all three eval
+    stages every epoch (measured ~26 s/eval on a remote-attached chip)."""
+    from digat_tpu.eval import scorer as S
+    from digat_tpu.models.model import Model
+
+    import __graft_entry__ as graft
+
+    cfg = graft._tiny_config()
+    model = Model(cfg)
+    a = S._get_scorer(model, 64)
+    b = S._get_scorer(model, 64)
+    assert a is b
+    c = S._get_scorer(model, 128)  # new batch size -> new closures
+    assert c is not b
+    other = Model(cfg)
+    assert S._get_scorer(other, 64) is not c
