@@ -146,8 +146,10 @@ def _softmax_grouped(s, bseg, precision):
 def _fwd_kernel(G, g, L, dkp, scale, masked, mm_prec, seg_prec, *refs):
     if masked:
         q_ref, k_ref, v_ref, m_ref, bseg_ref, o_ref = refs
-        # [TN, L] -> per-lane fill over (h, j): tile across heads
-        neg = jnp.where(m_ref[:, :], 0.0, MASK_FILL)  # [TN, L]
+        # [TN, 1, L] -> per-lane fill over (h, j): tile across heads (the
+        # singleton axis lets the block's last two dims match the array,
+        # freeing the batch tile from the 8-sublane divisibility rule)
+        neg = jnp.where(m_ref[:, 0, :], 0.0, MASK_FILL)  # [TN, L]
         neg = jnp.tile(neg, (1, g))[:, None, :]  # [TN, 1, g*L]
     else:
         q_ref, k_ref, v_ref, bseg_ref, o_ref = refs
@@ -172,7 +174,7 @@ def _bwd_kernel(G, g, L, dkp, scale, masked, mm_prec, seg_prec, *refs):
     if masked:
         (q_ref, k_ref, v_ref, m_ref, bseg_ref, do_ref,
          dq_ref, dk_ref, dv_ref) = refs
-        neg = jnp.where(m_ref[:, :], 0.0, MASK_FILL)
+        neg = jnp.where(m_ref[:, 0, :], 0.0, MASK_FILL)
         neg = jnp.tile(neg, (1, g))[:, None, :]
     else:
         q_ref, k_ref, v_ref, bseg_ref, do_ref, dq_ref, dk_ref, dv_ref = refs
@@ -219,8 +221,13 @@ def _bwd_kernel(G, g, L, dkp, scale, masked, mm_prec, seg_prec, *refs):
 
 
 def _auto_tile(L, Dp, itemsize, nbuf, budget=10 * 1024 * 1024):
+    """Largest power-of-two batch tile whose double-buffered windows fit
+    the scoped-VMEM budget. The batch axis is a leading (untiled) block
+    dim, so tiles below 8 are legal — required at e.g. the NRMS user
+    encoder's eval shape [B, 50, 1280], where tile=8 blew the 16M scoped
+    limit (measured on v5e: 17.54M requested)."""
     t = budget // (nbuf * 2 * L * Dp * itemsize)
-    t = max(int(t), 8)
+    t = max(int(t), 1)
     return 1 << (t.bit_length() - 1)
 
 
@@ -239,14 +246,17 @@ def _call(is_bwd, q, k, v, mask, do, heads, dk, g, tile, interpret):
     scale = 1.0 / math.sqrt(float(dk))
     masked = mask is not None
     if tile <= 0:
-        tile = _auto_tile(L, Dp, q.dtype.itemsize, 7 if is_bwd else 4)
+        nbuf = (7 if is_bwd else 4) + (1 if masked else 0)
+        tile = _auto_tile(L, Dp, q.dtype.itemsize, nbuf)
     bseg = jnp.asarray(_bseg(g, L))
 
+    if masked:
+        mask = mask[:, None, :]  # [N, 1, L]: see _fwd_kernel mask note
     main = [q, k, v] + ([mask] if masked else []) + ([do] if is_bwd else [])
     main, n, npad = _pad_batch(main, tile)
 
     bld = pl.BlockSpec((tile, L, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((tile, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     bseg_spec = pl.BlockSpec(
         (g * L, g * L), lambda i: (0, 0), memory_space=pltpu.VMEM
     )

@@ -495,3 +495,59 @@ def test_dedup_overflow_fallback_cost(tpu):
     print(f"dedup-overflow fallback: first (compile) {fallback_first_s:.1f}s,"
           f" steady {fallback_steady_s * 1e3:.0f} ms/step")
     assert fallback_steady_s < 5.0, "fallback path recompiling per batch?"
+
+
+def test_grouped_attention_nrms_user_shape(tpu):
+    """Regression: the NRMS user encoder's eval shape ([1024, 50] history,
+    20 heads x dkp 64 = 1280 padded lanes) blew the 16M scoped-VMEM limit
+    when the batch tile was floored at 8 and the mask block demanded
+    8-sublane granularity. Exactness vs the XLA reference at a smaller
+    batch, plus compile+run at the full batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from digat_tpu.ops.pallas.msa_attention_grouped import (
+        msa_attention_grouped, unpad_heads)
+
+    rng = np.random.default_rng(5)
+    heads, dk, L = 20, 20, 50
+    dkp, Dp = 64, 20 * 64
+
+    def padded(x):
+        n = x.shape[0]
+        w = np.zeros((heads * dk, Dp), np.float32)
+        for h in range(heads):
+            w[h * dk:(h + 1) * dk, h * dkp:h * dkp + dk] = np.eye(dk)
+        return jnp.asarray(x @ w)
+
+    # exactness leg (small batch) vs a float64 NumPy reference
+    n = 64
+    xq, xk, xv = (
+        rng.standard_normal((n, L, heads * dk)).astype(np.float32) * 0.3
+        for _ in range(3)
+    )
+    mask_np = rng.random((n, L)) < 0.8
+    qh = xq.reshape(n, L, heads, dk).astype(np.float64)
+    kh = xk.reshape(n, L, heads, dk).astype(np.float64)
+    vh = xv.reshape(n, L, heads, dk).astype(np.float64)
+    s = np.einsum("nihd,njhd->nhij", qh, kh) / np.sqrt(dk)
+    s = np.where(mask_np[:, None, None, :], s, -1e9)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    a = e / e.sum(-1, keepdims=True)
+    ref = np.einsum("nhij,njhd->nihd", a, vh).reshape(n, L, heads * dk)
+    out = msa_attention_grouped(
+        padded(xq), padded(xk), padded(xv), heads, dk,
+        mask=jnp.asarray(mask_np),
+    )
+    got = np.asarray(unpad_heads(out, heads, dk))
+    err = np.abs(got - ref).max()
+    assert err < 1e-5, err
+
+    # capacity leg (the previously-OOMing batch): compile + run + finite
+    big_in = [
+        padded(rng.standard_normal((1024, L, heads * dk)).astype(np.float32))
+        for _ in range(3)
+    ]
+    mask = jnp.asarray(rng.random((1024, L)) < 0.8)
+    big = msa_attention_grouped(*big_in, heads, dk, mask=mask)
+    assert bool(jnp.isfinite(big).all())
