@@ -40,17 +40,18 @@ def _auto_tile(L: int, D: int, itemsize: int, nbuf: int,
     (nbuf tensors of [tile, L, D]) fits in `budget` bytes of the 16 MB
     scoped VMEM. The forward budget is conservative (HIGHEST-precision
     matmul passes and per-head relayout copies inflate the live set); the
-    backward runs default precision and affords more. The floor of 8
-    satisfies the (8, 128) block divisibility of the 2D mask."""
+    backward runs default precision and affords more. The batch axis is a
+    leading block dim, so tiles below 8 are legal (the mask carries a
+    singleton axis so its block matches the array dims)."""
     t = budget // (nbuf * 2 * L * D * itemsize)
-    t = max(int(t), 8)
+    t = max(int(t), 1)
     return 1 << (t.bit_length() - 1)
 
 
 def _fwd_kernel(H, dk, scale, masked, precision, *refs):
     if masked:
         q_ref, k_ref, v_ref, m_ref, o_ref = refs
-        neg = jnp.where(m_ref[:, :], 0.0, MASK_FILL)[:, None, :]  # [TN,1,L]
+        neg = jnp.where(m_ref[:, 0, :], 0.0, MASK_FILL)[:, None, :]  # [TN,1,L]
     else:
         q_ref, k_ref, v_ref, o_ref = refs
         neg = None
@@ -74,7 +75,7 @@ def _fwd_kernel(H, dk, scale, masked, precision, *refs):
 def _bwd_kernel(H, dk, scale, masked, *refs):
     if masked:
         q_ref, k_ref, v_ref, m_ref, do_ref, dq_ref, dk_ref, dv_ref = refs
-        neg = jnp.where(m_ref[:, :], 0.0, MASK_FILL)[:, None, :]
+        neg = jnp.where(m_ref[:, 0, :], 0.0, MASK_FILL)[:, None, :]
     else:
         q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref = refs
         neg = None
@@ -113,18 +114,20 @@ def _pad_batch(arrs, tile):
 
 def _call_fwd(q, k, v, mask, heads, tile):
     N, L, D = q.shape
+    masked = mask is not None
     if tile <= 0:
-        tile = _auto_tile(L, D, q.dtype.itemsize, 4)
+        tile = _auto_tile(L, D, q.dtype.itemsize, 4 + (1 if masked else 0))
     dk = D // heads
     scale = 1.0 / math.sqrt(float(dk))
-    masked = mask is not None
+    if masked:
+        mask = mask[:, None, :]  # [N, 1, L]: block dims match the array
     ins = [q, k, v] + ([mask] if masked else [])
     ins, n, npad = _pad_batch(ins, tile)
     qkv_spec = pl.BlockSpec((tile, L, D), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     specs = [qkv_spec] * 3
     if masked:
-        specs.append(pl.BlockSpec((tile, L), lambda i: (i, 0),
+        specs.append(pl.BlockSpec((tile, 1, L), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM))
     # HIGHEST-precision matmul passes need scratch that only fits for
     # title-length sequences, and only apply to fp32 inputs (bf16 operands
@@ -153,18 +156,21 @@ def _call_fwd(q, k, v, mask, heads, tile):
 
 def _call_bwd(q, k, v, mask, do, heads, tile):
     N, L, D = q.shape
+    masked = mask is not None
     if tile <= 0:
-        tile = _auto_tile(L, D, q.dtype.itemsize, 7, budget=9 * 1024 * 1024)
+        tile = _auto_tile(L, D, q.dtype.itemsize, 7 + (1 if masked else 0),
+                          budget=9 * 1024 * 1024)
     dk = D // heads
     scale = 1.0 / math.sqrt(float(dk))
-    masked = mask is not None
+    if masked:
+        mask = mask[:, None, :]
     ins = [q, k, v] + ([mask] if masked else []) + [do]
     ins, n, npad = _pad_batch(ins, tile)
     qkv_spec = pl.BlockSpec((tile, L, D), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     specs = [qkv_spec] * 3
     if masked:
-        specs.append(pl.BlockSpec((tile, L), lambda i: (i, 0),
+        specs.append(pl.BlockSpec((tile, 1, L), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM))
     specs.append(qkv_spec)
     shape = jax.ShapeDtypeStruct((npad, L, D), q.dtype)
