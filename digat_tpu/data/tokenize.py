@@ -82,7 +82,26 @@ def encode_title(
 
 
 def load_glove_txt(path: str, dim: int) -> Tuple[Dict[str, int], np.ndarray]:
-    """Parse a GloVe text file into (stoi, vectors)."""
+    """Parse a GloVe text file into (stoi, vectors).
+
+    Uses the multithreaded native parser (`native/loader.cpp::parse_glove`)
+    when the library builds — 26.6 s vs 252.6 s pure-Python on the 4.3 GB
+    GloVe-840B-shaped file (docs/PERF.md) — falling back to the Python line
+    loop. Both enforce the reference's exactly-(dim+1)-fields acceptance
+    rule (the torchtext path at MIND_corpus.py:89-108 skips malformed lines
+    the same way).
+    """
+    from digat_tpu.native import bindings as native
+
+    if native.available():
+        try:
+            return native.parse_glove_native(path, dim)
+        except AssertionError:
+            pass  # unreadable via native path: fall through for a real error
+    return _load_glove_txt_py(path, dim)
+
+
+def _load_glove_txt_py(path: str, dim: int) -> Tuple[Dict[str, int], np.ndarray]:
     stoi: Dict[str, int] = {}
     vecs: List[np.ndarray] = []
     with open(path, "r", encoding="utf-8") as f:

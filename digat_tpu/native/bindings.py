@@ -19,7 +19,10 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", _LIB, _SRC]
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-pthread", "-shared", "-fPIC",
+        "-o", _LIB, _SRC,
+    ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return True
@@ -57,6 +60,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, i32p, i64p, i32p, i64p, i32p, i64p, i32p, i8p, i64p,
         ]
         lib.behaviors_free.argtypes = [ctypes.c_void_p]
+        lib.parse_glove.restype = ctypes.c_void_p
+        lib.parse_glove.argtypes = [ctypes.c_char_p, ctypes.c_int32]
+        lib.glove_sizes.argtypes = [ctypes.c_void_p, i64p]
+        lib.glove_fill.argtypes = [ctypes.c_void_p, u8p, f32p]
+        lib.glove_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -90,6 +98,28 @@ def expand_graph_native(
         node_id, graph, mask,
     )
     return node_id, graph.astype(bool), mask.astype(bool)
+
+
+def parse_glove_native(path: str, dim: int) -> Tuple[Dict[str, int], np.ndarray]:
+    """Multithreaded native parse of a GloVe text file; same contract as
+    data.tokenize.load_glove_txt (stoi keeps the LAST index of a duplicate
+    word, matching the Python dict-overwrite behavior)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    handle = lib.parse_glove(path.encode("utf-8"), dim)
+    try:
+        sizes = np.zeros(3, np.int64)
+        lib.glove_sizes(handle, sizes)
+        rows, word_bytes, ok = (int(x) for x in sizes)
+        assert ok, f"native glove parse failed for {path}"
+        words_buf = np.zeros(word_bytes, np.uint8)
+        vecs = np.zeros((rows, dim), np.float32)
+        lib.glove_fill(handle, words_buf, vecs)
+    finally:
+        lib.glove_free(handle)
+    words = words_buf.tobytes().decode("utf-8").split("\n")[:-1] if word_bytes else []
+    stoi = {w: i for i, w in enumerate(words)}
+    return stoi, vecs
 
 
 def parse_behaviors_native(path: str, news_dict: Dict[str, int]):

@@ -11,17 +11,31 @@
 //   * behaviors parsing — tokenizes behaviors.tsv rows (history ids,
 //     clicked/non-clicked impressions) against the news-ID dictionary in a
 //     single pass, two-call protocol (count, then fill) so Python owns all
-//     allocations.
+//     allocations;
 //
-// Build: g++ -O2 -shared -fPIC -o _native.so loader.cpp (see build.py).
+//   * GloVe text parsing — multithreaded mmap parse of a `word f0 .. fD`
+//     embedding file (the reference feeds the 5.3 GB glove.840B.300d.txt
+//     through torchtext, MIND_corpus.py:89-108). Keeps the reference's
+//     exactly-(dim+1)-single-space-fields acceptance rule; lines whose
+//     float fields fail to parse are skipped (the Python fallback raises
+//     there — only reachable on malformed files).
+//
+// Build: g++ -O2 -pthread -shared -fPIC -o _native.so loader.cpp.
 
+#include <charconv>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
 #include <string_view>
+#include <thread>
 #include <unordered_map>
 #include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 extern "C" {
 
@@ -239,6 +253,155 @@ void behaviors_fill(void* handle, int32_t* history_flat,
 
 void behaviors_free(void* handle) {
   delete static_cast<BehaviorData*>(handle);
+}
+
+// ---------------------------------------------------------------------------
+// GloVe text parsing
+// ---------------------------------------------------------------------------
+// Accepted lines match the Python reference semantics exactly: rstrip
+// trailing whitespace, split on single ' ', keep only lines with exactly
+// dim+1 fields; field 0 is the word (may legally contain tabs / be empty),
+// the rest parse as doubles and narrow to float32 (numpy's strtod-then-cast
+// path). Words are returned '\n'-terminated in row order.
+
+struct GloveChunk {
+  std::vector<char> words;
+  std::vector<float> vecs;
+  int64_t rows = 0;
+};
+
+struct GloveData {
+  std::vector<char> words;
+  std::vector<float> vecs;
+  int64_t rows = 0;
+  bool ok = false;
+};
+
+static void parse_glove_chunk(const char* beg, const char* end, int32_t dim,
+                              GloveChunk* out) {
+  std::vector<double> tmp(static_cast<size_t>(dim));
+  const char* p = beg;
+  while (p < end) {
+    const char* nl =
+        static_cast<const char*>(memchr(p, '\n', static_cast<size_t>(end - p)));
+    const char* e = nl ? nl : end;
+    // Python str.rstrip() default whitespace set
+    while (e > p && (e[-1] == ' ' || e[-1] == '\t' || e[-1] == '\r' ||
+                     e[-1] == '\v' || e[-1] == '\f')) {
+      --e;
+    }
+    int32_t spaces = 0;
+    for (const char* q = p; q < e; ++q) spaces += (*q == ' ');
+    if (spaces == dim && dim > 0) {
+      const char* sp =
+          static_cast<const char*>(memchr(p, ' ', static_cast<size_t>(e - p)));
+      const char* fs = sp + 1;
+      bool good = true;
+      for (int32_t k = 0; k < dim; ++k) {
+        const char* fe =
+            (k == dim - 1)
+                ? e
+                : static_cast<const char*>(
+                      memchr(fs, ' ', static_cast<size_t>(e - fs)));
+        const char* vs = fs;
+        if (vs < fe && *vs == '+') ++vs;  // from_chars rejects leading '+'
+        double v = 0.0;
+        auto res = std::from_chars(vs, fe, v);
+        if (res.ec != std::errc() || res.ptr != fe) {
+          good = false;
+          break;
+        }
+        tmp[static_cast<size_t>(k)] = v;
+        fs = fe + 1;
+      }
+      if (good) {
+        out->words.insert(out->words.end(), p, sp);
+        out->words.push_back('\n');
+        for (int32_t k = 0; k < dim; ++k) {
+          out->vecs.push_back(static_cast<float>(tmp[static_cast<size_t>(k)]));
+        }
+        ++out->rows;
+      }
+    }
+    p = nl ? nl + 1 : end;
+  }
+}
+
+void* parse_glove(const char* path, int32_t dim) {
+  auto* d = new GloveData();
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return d;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return d;
+  }
+  if (st.st_size == 0) {
+    close(fd);
+    d->ok = true;
+    return d;
+  }
+  const size_t size = static_cast<size_t>(st.st_size);
+  void* map = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (map == MAP_FAILED) return d;
+  madvise(map, size, MADV_SEQUENTIAL);
+  const char* base = static_cast<const char*>(map);
+
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 1;
+  if (size < (1u << 20)) nt = 1;
+  std::vector<const char*> bounds{base};
+  for (unsigned t = 1; t < nt; ++t) {
+    const char* guess = base + size / nt * t;
+    if (guess < bounds.back()) guess = bounds.back();
+    const char* nl = static_cast<const char*>(
+        memchr(guess, '\n', static_cast<size_t>(base + size - guess)));
+    bounds.push_back(nl ? nl + 1 : base + size);
+  }
+  bounds.push_back(base + size);
+
+  std::vector<GloveChunk> chunks(nt);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (unsigned t = 0; t < nt; ++t) {
+    threads.emplace_back(parse_glove_chunk, bounds[t], bounds[t + 1], dim,
+                         &chunks[t]);
+  }
+  for (auto& th : threads) th.join();
+
+  size_t wtot = 0, vtot = 0;
+  for (auto& c : chunks) {
+    wtot += c.words.size();
+    vtot += c.vecs.size();
+  }
+  d->words.reserve(wtot);
+  d->vecs.reserve(vtot);
+  for (auto& c : chunks) {
+    d->words.insert(d->words.end(), c.words.begin(), c.words.end());
+    d->vecs.insert(d->vecs.end(), c.vecs.begin(), c.vecs.end());
+    d->rows += c.rows;
+  }
+  munmap(map, size);
+  d->ok = true;
+  return d;
+}
+
+void glove_sizes(void* handle, int64_t* out) {
+  auto* d = static_cast<GloveData*>(handle);
+  out[0] = d->rows;
+  out[1] = static_cast<int64_t>(d->words.size());
+  out[2] = d->ok ? 1 : 0;
+}
+
+void glove_fill(void* handle, uint8_t* words, float* vecs) {
+  auto* d = static_cast<GloveData*>(handle);
+  std::memcpy(words, d->words.data(), d->words.size());
+  std::memcpy(vecs, d->vecs.data(), d->vecs.size() * sizeof(float));
+}
+
+void glove_free(void* handle) {
+  delete static_cast<GloveData*>(handle);
 }
 
 }  // extern "C"

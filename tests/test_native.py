@@ -92,3 +92,36 @@ def test_parse_behaviors_scales(tmp_path):
         len(out["clicks_flat"]) + len(out["nonclicks_flat"])
         == len(out["cand_flat"])
     )
+
+
+def test_parse_glove_matches_python(tmp_path):
+    """Native multithreaded GloVe parser == the pure-Python loop, including
+    the exactly-(dim+1)-fields skip rule, rstrip, duplicate-word overwrite,
+    unicode words, and exact float32 values."""
+    from digat_tpu.data.tokenize import _load_glove_txt_py
+    from digat_tpu.native.bindings import parse_glove_native
+
+    dim = 4
+    rng = np.random.default_rng(7)
+    lines = []
+    for i in range(500):
+        vec = rng.standard_normal(dim)
+        lines.append(f"w{i} " + " ".join("%.6g" % x for x in vec))
+    lines.append("café -1.5 2e-3 0.25 3")          # unicode word
+    lines.append("w3 9 8 7 6")                      # duplicate word -> last wins
+    lines.append("short 1.0 2.0")                   # too few fields -> skipped
+    lines.append("long 1 2 3 4 5")                  # too many fields -> skipped
+    lines.append("trail 1 2 3 4   ")                # rstrip then accept
+    lines.append("")                                # empty line -> skipped
+    lines.append(". . . 1 2 3 4")                   # token w/ spaces -> skipped
+    path = tmp_path / "glove.txt"
+    path.write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+    stoi_py, vecs_py = _load_glove_txt_py(str(path), dim)
+    stoi_nat, vecs_nat = parse_glove_native(str(path), dim)
+    assert stoi_nat == stoi_py
+    assert vecs_nat.dtype == vecs_py.dtype == np.float32
+    assert np.array_equal(vecs_nat, vecs_py)
+    assert "short" not in stoi_nat and "long" not in stoi_nat
+    assert stoi_nat["trail"] is not None and "café" in stoi_nat
+    assert np.array_equal(vecs_nat[stoi_nat["w3"]], [9, 8, 7, 6])

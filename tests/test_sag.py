@@ -143,3 +143,24 @@ def test_construct_sag_end_to_end(use_native):
     for i in range(1, 6):
         if i != d["N4"]:
             assert d["N4"] not in node_id[i, 1:].tolist()
+
+
+def test_visualize_graph_dump(use_native, tmp_path):
+    """The debugging helper writes the edge list (with titles) and the
+    adjacency matrix of one news graph (reference construct_SAG.py:488-512)."""
+    d = ids("A", "B", "C")
+    sim = {"A": [("B", 0.9), ("C", 0.8)], "B": [], "C": [], "<PAD>": []}
+    node_id, graph, mask = expand(sim, d, 2, 1, 3, use_native=use_native)
+    out = tmp_path / "graph.tsv"
+    sag.visualize_graph(
+        str(out), d["A"], node_id, graph,
+        {d["A"]: "title a", d["B"]: "title b", d["C"]: "title c"},
+    )
+    text = out.read_text(encoding="utf-8")
+    lines = text.splitlines()
+    assert lines[0] == "Node1\tNode2\tTitle1\tTitle2"
+    assert "0\t1\ttitle a\ttitle b" in lines
+    # adjacency block: one row per node, matching the boolean matrix
+    adj_rows = lines[lines.index("news graph") + 1:]
+    got = np.array([[int(x) for x in r.split("\t")] for r in adj_rows[:3]])
+    assert np.array_equal(got, graph[d["A"]].astype(int))
