@@ -170,6 +170,12 @@ def apply_runtime_config(cfg: Config) -> None:
 
     if cfg.rng_impl and cfg.rng_impl != "threefry":
         jax.config.update("jax_default_prng_impl", cfg.rng_impl)
+    if cfg.compilation_cache_dir:
+        # persistent across processes: repeat train/dev/test invocations
+        # skip the remote TPU compile of unchanged programs
+        jax.config.update("jax_compilation_cache_dir",
+                          cfg.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main(argv=None) -> None:

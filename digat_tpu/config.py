@@ -124,6 +124,11 @@ class Config:
     # PRNG implementation for dropout streams: 'rbg' uses the TPU hardware
     # generator (fast); 'threefry' is JAX's default counter-based PRNG.
     rng_impl: str = "rbg"
+    # Persistent XLA compilation cache directory. Repeat CLI invocations
+    # reuse compiled programs instead of paying the remote TPU compile
+    # (~24 s for the eval stage-1 program through the tunnel; measured in
+    # bench.py as stage1_first_s). Empty = disabled.
+    compilation_cache_dir: str = ""
 
     def __post_init__(self) -> None:
         if self.dataset == "MIND-small":

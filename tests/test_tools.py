@@ -149,3 +149,23 @@ def test_prepare_mind_large_hermetic(tmp_path, monkeypatch):
         with open(os.path.join(root, split, "behaviors.tsv")) as f:
             assert f.read() == _behaviors(5, start=start)
         assert os.path.exists(os.path.join(root, split, "news.tsv"))
+
+
+def test_compilation_cache_flag(tmp_path, monkeypatch):
+    """--compilation_cache_dir flows into the persistent XLA cache config
+    so repeat CLI invocations skip the remote TPU compile."""
+    import jax
+
+    from digat_tpu.cli import apply_runtime_config
+
+    cache = str(tmp_path / "xla_cache")
+    cfg = Config.from_args(
+        ["--dataset", "synthetic", "--compilation_cache_dir", cache]
+    )
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        apply_runtime_config(cfg)
+        assert jax.config.jax_compilation_cache_dir == cache
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)
