@@ -85,7 +85,7 @@ def load_glove_txt(path: str, dim: int) -> Tuple[Dict[str, int], np.ndarray]:
     """Parse a GloVe text file into (stoi, vectors).
 
     Uses the multithreaded native parser (`native/loader.cpp::parse_glove`)
-    when the library builds — 26.6 s vs 252.6 s pure-Python on the 4.3 GB
+    when the library builds — 20.4 s vs 252.6 s pure-Python on the 4.3 GB
     GloVe-840B-shaped file (docs/PERF.md) — falling back to the Python line
     loop. Both enforce the reference's exactly-(dim+1)-fields acceptance
     rule (the torchtext path at MIND_corpus.py:89-108 skips malformed lines
