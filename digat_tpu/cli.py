@@ -117,20 +117,47 @@ def run_train(cfg: Config) -> None:
             raw_params = multihost_utils.broadcast_one_to_all(raw_params)
             epoch = int(multihost_utils.broadcast_one_to_all(np.asarray(epoch)))
         t0 = time.time()
-        result_file = (
-            os.path.join(trainer.run_dir, "test-prediction.txt")
-            if trainer.is_main else None
-        )
+        # Unlabeled test split (MIND-large): the deliverable is the
+        # leaderboard submission zip, not a metrics row (the reference's
+        # train flow hands off to test() which writes prediction.zip,
+        # main.py:47-51,59-62).
+        unlabeled = np.asarray(corpus.test_labels).sum() == 0
+        if trainer.is_main:
+            if unlabeled:
+                pred_dir = os.path.join(
+                    cfg.run_root, "prediction", cfg.dataset, model.model_name
+                )
+                os.makedirs(pred_dir, exist_ok=True)
+                result_file = os.path.join(pred_dir, "prediction.txt")
+            else:
+                result_file = os.path.join(trainer.run_dir, "test-prediction.txt")
+        else:
+            result_file = None
         auc, mrr, ndcg5, ndcg10 = compute_scores(
             model, raw_params, corpus, "test", result_file=result_file
         )
         if trainer.is_main:
-            print(f"[test] epoch {epoch}: AUC={auc:.4f} MRR={mrr:.4f} "
-                  f"nDCG@5={ndcg5:.4f} nDCG@10={ndcg10:.4f} "
-                  f"({time.time() - t0:.1f}s)")
-            res = os.path.join(trainer.results_dir, f"#{trainer.run_index}-test")
-            with open(res, "w") as f:
-                f.write(f"#{trainer.run_index}\t{auc}\t{mrr}\t{ndcg5}\t{ndcg10}\n")
+            if unlabeled:
+                import zipfile
+
+                zip_path = os.path.join(
+                    os.path.dirname(result_file), "prediction.zip"
+                )
+                with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+                    z.write(result_file, "prediction.txt")
+                print(f"[test] epoch {epoch}: unlabeled split — wrote "
+                      f"leaderboard submission {zip_path} "
+                      f"({time.time() - t0:.1f}s)")
+            else:
+                print(f"[test] epoch {epoch}: AUC={auc:.4f} MRR={mrr:.4f} "
+                      f"nDCG@5={ndcg5:.4f} nDCG@10={ndcg10:.4f} "
+                      f"({time.time() - t0:.1f}s)")
+                res = os.path.join(
+                    trainer.results_dir, f"#{trainer.run_index}-test"
+                )
+                with open(res, "w") as f:
+                    f.write(f"#{trainer.run_index}\t{auc}\t{mrr}\t"
+                            f"{ndcg5}\t{ndcg10}\n")
 
 
 def run_eval(cfg: Config, mode: str) -> None:

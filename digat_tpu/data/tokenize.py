@@ -93,12 +93,19 @@ def load_glove_txt(path: str, dim: int) -> Tuple[Dict[str, int], np.ndarray]:
     """
     from digat_tpu.native import bindings as native
 
+    stoi, vecs = None, None
     if native.available():
         try:
-            return native.parse_glove_native(path, dim)
-        except AssertionError:
+            stoi, vecs = native.parse_glove_native(path, dim)
+        except native.NativeParseError:
             pass  # unreadable via native path: fall through for a real error
-    return _load_glove_txt_py(path, dim)
+    if vecs is None:
+        stoi, vecs = _load_glove_txt_py(path, dim)
+    if vecs.shape[0] == 0:
+        # would otherwise propagate NaN mean/std silently through
+        # build_word_embedding's OOV draws
+        raise ValueError(f"no valid GloVe rows parsed from {path}")
+    return stoi, vecs
 
 
 def _load_glove_txt_py(path: str, dim: int) -> Tuple[Dict[str, int], np.ndarray]:
@@ -111,6 +118,8 @@ def _load_glove_txt_py(path: str, dim: int) -> Tuple[Dict[str, int], np.ndarray]
                 continue
             stoi[parts[0]] = len(vecs)
             vecs.append(np.asarray(parts[1:], np.float32))
+    if not vecs:
+        return stoi, np.zeros((0, dim), np.float32)
     return stoi, np.stack(vecs)
 
 

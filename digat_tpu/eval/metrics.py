@@ -235,7 +235,16 @@ def score_impressions_flat(
 def write_truth_file(behaviors_path: str, out_path: str) -> None:
     """Generate the official-scorer ground truth from behaviors.tsv:
     `<row> [l1,l2,...]` per impression row (reference config.py:119-135).
-    Only valid for labeled splits (impressions carry -1/-0 suffixes)."""
+    Only valid for labeled splits (impressions carry -1/-0 suffixes);
+    an unlabeled split (MIND-large test style) writes nothing."""
+    with open(behaviors_path, "r", encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                first = line.split("\t")[4].strip().split(" ")[0]
+                if not (len(first) > 2 and first[-2] == "-"
+                        and first[-1] in "01"):
+                    return  # unlabeled split: no ground truth to write
+                break
     with open(behaviors_path, "r", encoding="utf-8") as f_in, open(
         out_path, "w", encoding="utf-8"
     ) as f_out:

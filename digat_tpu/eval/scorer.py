@@ -310,7 +310,9 @@ class NRMSCachedScorer:
 
     def score_items(self, params, tables, history_idx, cat_idx, imp_index,
                     cand, *, shard_index: int = 0, shard_count: int = 1):
-        params = self._commit(params)
+        # bf16 opt-in, same as CachedScorer (the reference's Appendix-B
+        # eval runs whatever dtype the model holds, util.py:20-55)
+        params = self._commit(self.model.cast_params(params))
         plain, fused = self.cache_news(params, tables)
         scores = np.zeros(len(cand), np.float32)
         item_ids = np.arange(len(cand))[shard_index::shard_count]

@@ -8,9 +8,15 @@ point has a pure-Python fallback in digat_tpu.data, and
 available."""
 
 from digat_tpu.native.bindings import (
+    NativeParseError,
     available,
     expand_graph_native,
     parse_behaviors_native,
 )
 
-__all__ = ["available", "expand_graph_native", "parse_behaviors_native"]
+__all__ = [
+    "NativeParseError",
+    "available",
+    "expand_graph_native",
+    "parse_behaviors_native",
+]

@@ -14,6 +14,16 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "loader.cpp")
 _LIB = os.path.join(_DIR, "_native.so")
 _lock = threading.Lock()
+
+
+class NativeParseError(RuntimeError):
+    """Native loader failed (library unavailable or parse error).
+
+    A dedicated exception (not `assert`) so failure handling survives
+    `python -O`: callers with a pure-Python fallback catch this; callers
+    without one propagate a loud error instead of consuming zero-filled
+    buffers."""
+
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
@@ -85,7 +95,8 @@ def expand_graph_native(
     """Native BFS expansion; same contract as data.sag.expand_graph but over
     index-form neighbor lists."""
     lib = _load()
-    assert lib is not None, "native library unavailable"
+    if lib is None:
+        raise NativeParseError("native library unavailable")
     news_num = len(offsets) - 1
     node_id = np.zeros((news_num, node_num), np.int32)
     graph = np.zeros((news_num, node_num, node_num), np.uint8)
@@ -105,13 +116,15 @@ def parse_glove_native(path: str, dim: int) -> Tuple[Dict[str, int], np.ndarray]
     data.tokenize.load_glove_txt (stoi keeps the LAST index of a duplicate
     word, matching the Python dict-overwrite behavior)."""
     lib = _load()
-    assert lib is not None, "native library unavailable"
+    if lib is None:
+        raise NativeParseError("native library unavailable")
     handle = lib.parse_glove(path.encode("utf-8"), dim)
     try:
         sizes = np.zeros(3, np.int64)
         lib.glove_sizes(handle, sizes)
         rows, word_bytes, ok = (int(x) for x in sizes)
-        assert ok, f"native glove parse failed for {path}"
+        if not ok:
+            raise NativeParseError(f"native glove parse failed for {path}")
         words_buf = np.zeros(word_bytes, np.uint8)
         vecs = np.zeros((rows, dim), np.float32)
         lib.glove_fill(handle, words_buf, vecs)
@@ -128,7 +141,8 @@ def parse_behaviors_native(path: str, news_dict: Dict[str, int]):
     Keys are matched exactly; unknown ids are dropped (never present in
     well-formed MIND data)."""
     lib = _load()
-    assert lib is not None, "native library unavailable"
+    if lib is None:
+        raise NativeParseError("native library unavailable")
     items = sorted(news_dict.items(), key=lambda kv: kv[1])
     keys = "\n".join(k for k, _ in items).encode("utf-8")
     handle = lib.parse_behaviors(
@@ -138,7 +152,8 @@ def parse_behaviors_native(path: str, news_dict: Dict[str, int]):
         sizes = np.zeros(6, np.int64)
         lib.behaviors_sizes(handle, sizes)
         rows, n_hist, n_clk, n_nclk, n_cand, ok = (int(x) for x in sizes)
-        assert ok, f"native parse failed for {path}"
+        if not ok:
+            raise NativeParseError(f"native parse failed for {path}")
         out = {
             "history_flat": np.zeros(n_hist, np.int32),
             "history_offsets": np.zeros(rows + 1, np.int64),

@@ -25,6 +25,7 @@
 #include <charconv>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <string_view>
@@ -258,11 +259,18 @@ void behaviors_free(void* handle) {
 // ---------------------------------------------------------------------------
 // GloVe text parsing
 // ---------------------------------------------------------------------------
-// Accepted lines match the Python reference semantics exactly: rstrip
-// trailing whitespace, split on single ' ', keep only lines with exactly
-// dim+1 fields; field 0 is the word (may legally contain tabs / be empty),
-// the rest parse as doubles and narrow to float32 (numpy's strtod-then-cast
-// path). Words are returned '\n'-terminated in row order.
+// Accepted lines match the Python fallback semantics on well-formed files:
+// rstrip trailing whitespace, split on single ' ', keep only lines with
+// exactly dim+1 fields; field 0 is the word (may legally contain tabs / be
+// empty), the rest parse as doubles and narrow to float32 (numpy's
+// strtod-then-cast path; overflowing literals like 1e999 clamp to +/-inf,
+// same as numpy). Words are returned '\n'-terminated in row order.
+// Known divergences on MALFORMED lines only (exercised in
+// tests/test_native_loader.py): (a) the rstrip set is ASCII whitespace,
+// so a line ending in Unicode whitespace (e.g. NBSP) is rejected here but
+// stripped-and-accepted by Python's str.rstrip(); (b) a dim+1-field line
+// whose numeric field does not parse is skipped here, where the Python
+// path raises ValueError from np.asarray.
 
 struct GloveChunk {
   std::vector<char> words;
@@ -307,7 +315,12 @@ static void parse_glove_chunk(const char* beg, const char* end, int32_t dim,
         if (vs < fe && *vs == '+') ++vs;  // from_chars rejects leading '+'
         double v = 0.0;
         auto res = std::from_chars(vs, fe, v);
-        if (res.ec != std::errc() || res.ptr != fe) {
+        if (res.ec == std::errc::result_out_of_range && res.ptr == fe) {
+          // out-of-range literal: match numpy/strtod (+/-HUGE_VAL on
+          // overflow like 1e999, 0/denormal on underflow like 1e-999)
+          std::string buf(vs, fe);
+          v = strtod(buf.c_str(), nullptr);
+        } else if (res.ec != std::errc() || res.ptr != fe) {
           good = false;
           break;
         }

@@ -149,3 +149,50 @@ def test_scorer_closures_cached_across_compute_scores():
     assert c is not b
     other = Model(cfg)
     assert S._get_scorer(other, 64) is not c
+
+
+def test_train_autotest_unlabeled_writes_submission_zip(tmp_path):
+    """run_train on a dataset whose test split is unlabeled (MIND-large
+    style) must hand off to the submission-zip path — prediction.txt +
+    prediction.zip — instead of writing NaN metrics to #N-test
+    (reference main.py:47-51,59-62)."""
+    import re
+    import zipfile
+
+    root = str(tmp_path)
+    data_dir = os.path.join(root, "data", "synthetic")
+    synthetic.generate(
+        data_dir, news_num=80, categories=4, train_behaviors=30,
+        dev_behaviors=12, test_behaviors=12, users=12,
+    )
+    # strip labels from the test split: "N12-1 N5-0" -> "N12 N5"
+    tb = os.path.join(data_dir, "test", "behaviors.tsv")
+    rows = []
+    for line in open(tb, encoding="utf-8"):
+        parts = line.rstrip("\n").split("\t")
+        parts[4] = " ".join(re.sub(r"-[01]$", "", x)
+                            for x in parts[4].split(" "))
+        rows.append("\t".join(parts))
+    open(tb, "w", encoding="utf-8").write("\n".join(rows) + "\n")
+
+    cfg = tiny_cfg(root)
+    cli.run_train(cfg)
+    pred_dir = os.path.join(
+        cfg.run_root, "prediction", cfg.dataset, cfg.model_name
+    )
+    ptxt = os.path.join(pred_dir, "prediction.txt")
+    pzip = os.path.join(pred_dir, "prediction.zip")
+    assert os.path.exists(ptxt) and os.path.exists(pzip)
+    with zipfile.ZipFile(pzip) as z:
+        assert z.namelist() == ["prediction.txt"]
+    assert open(ptxt).read().startswith("1 [")
+    # no NaN metrics row
+    res = os.path.join(
+        cfg.run_root, "results", cfg.dataset, cfg.model_name,
+        f"#{cfg.run_index}-test",
+    )
+    assert not os.path.exists(res)
+    # and no garbage truth file for the unlabeled split
+    assert not os.path.exists(os.path.join(
+        cfg.run_root, "test", cfg.dataset, "ref", "truth.txt"
+    ))

@@ -125,3 +125,54 @@ def test_parse_glove_matches_python(tmp_path):
     assert "short" not in stoi_nat and "long" not in stoi_nat
     assert stoi_nat["trail"] is not None and "café" in stoi_nat
     assert np.array_equal(vecs_nat[stoi_nat["w3"]], [9, 8, 7, 6])
+
+
+def test_parse_glove_overflow_and_underflow(tmp_path):
+    """Out-of-range literals match numpy semantics: 1e999 -> +/-inf,
+    1e-999 -> 0 (ADVICE round-3: native silently dropped them)."""
+    from digat_tpu.data.tokenize import _load_glove_txt_py
+    from digat_tpu.native.bindings import parse_glove_native
+
+    dim = 2
+    path = tmp_path / "glove.txt"
+    path.write_text(
+        "big 1e999 -1e999\n"
+        "tiny 1e-999 -1e-999\n"
+        "ok 1.5 -2.5\n",
+        encoding="utf-8",
+    )
+    stoi_py, vecs_py = _load_glove_txt_py(str(path), dim)
+    stoi_nat, vecs_nat = parse_glove_native(str(path), dim)
+    assert stoi_nat == stoi_py
+    assert np.array_equal(vecs_nat, vecs_py)
+    assert np.isposinf(vecs_nat[stoi_nat["big"]][0])
+    assert np.isneginf(vecs_nat[stoi_nat["big"]][1])
+    assert vecs_nat[stoi_nat["tiny"]][0] == 0.0
+
+
+def test_load_glove_empty_file_raises(tmp_path):
+    """Zero parsed rows must be a loud error, not a (0, dim) matrix that
+    propagates NaN mean/std through build_word_embedding."""
+    from digat_tpu.data.tokenize import load_glove_txt
+
+    empty = tmp_path / "empty.txt"
+    empty.write_text("", encoding="utf-8")
+    with pytest.raises(ValueError, match="no valid GloVe rows"):
+        load_glove_txt(str(empty), 4)
+    malformed = tmp_path / "malformed.txt"
+    malformed.write_text("a 1 2\nb 3\n", encoding="utf-8")  # all wrong arity
+    with pytest.raises(ValueError, match="no valid GloVe rows"):
+        load_glove_txt(str(malformed), 4)
+
+
+def test_native_parse_error_is_exception_not_assert(tmp_path):
+    """Failure signalling survives `python -O`: a dedicated exception,
+    which load_glove_txt turns into the Python path's real error."""
+    from digat_tpu.data.tokenize import load_glove_txt
+    from digat_tpu.native.bindings import NativeParseError, parse_glove_native
+
+    missing = str(tmp_path / "does_not_exist.txt")
+    with pytest.raises(NativeParseError):
+        parse_glove_native(missing, 4)
+    with pytest.raises(FileNotFoundError):
+        load_glove_txt(missing, 4)

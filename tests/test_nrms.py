@@ -137,3 +137,31 @@ def test_nrms_e2e_cli(tmp_path):
         cfg.run_root, cfg.dataset, "NRMS-SA", f"#{cfg.run_index}"
     )
     assert os.path.exists(os.path.join(run_dir, "best.ckpt"))
+
+
+def test_nrms_bf16_eval_actually_casts():
+    """compute_dtype=bfloat16 must reach the NRMS scorer (round-3 ADVICE:
+    score_items silently ran fp32). bf16 scores differ from fp32 but
+    rank-agree at init scale, mirroring tests/test_bf16.py."""
+    from digat_tpu.eval.scorer import NRMSCachedScorer
+
+    cfg32, cfg16 = tiny_cfg(), tiny_cfg(compute_dtype="bfloat16")
+    m32, m16 = NRMSModel(cfg32), NRMSModel(cfg16)
+    tables = make_tables(cfg32)
+    params = m32.init(jax.random.PRNGKey(5))
+    rng = np.random.default_rng(6)
+    B, H = 8, cfg32.max_history_num
+    hist = rng.integers(0, 30, (B, H)).astype(np.int32)
+    cat = np.zeros((B, H), np.int32)
+    cand = rng.integers(0, 30, B).astype(np.int32)
+    s32 = NRMSCachedScorer(m32, batch_size=16).score_items(
+        params, tables, hist, cat, np.arange(B), cand
+    )
+    s16 = NRMSCachedScorer(m16, batch_size=16).score_items(
+        params, tables, hist, cat, np.arange(B), cand
+    )
+    # the cast must actually change the numerics (not a silent fp32 run)...
+    assert not np.array_equal(s32, s16)
+    # ...but only by bf16 rounding, not by a wrong computation
+    rel = np.abs(s16 - s32) / np.maximum(np.abs(s32), 1.0)
+    assert rel.max() < 0.05, rel.max()
