@@ -266,7 +266,7 @@ void behaviors_free(void* handle) {
 // strtod-then-cast path; overflowing literals like 1e999 clamp to +/-inf,
 // same as numpy). Words are returned '\n'-terminated in row order.
 // Known divergences on MALFORMED lines only (exercised in
-// tests/test_native_loader.py): (a) the rstrip set is ASCII whitespace,
+// tests/test_native.py): (a) the rstrip set is ASCII whitespace,
 // so a line ending in Unicode whitespace (e.g. NBSP) is rejected here but
 // stripped-and-accepted by Python's str.rstrip(); (b) a dim+1-field line
 // whose numeric field does not parse is skipped here, where the Python
