@@ -60,6 +60,9 @@ class Config:
     negative_sample_num: int = 4
     max_history_num: int = 50
     epoch: int = 16
+    # >0: wins over the forced per-dataset epoch count (harness escape;
+    # see __post_init__). 0 = reference protocol.
+    epoch_override: int = 0
     batch_size: int = 64
     lr: float = 1e-4
     weight_decay: float = 0.0
@@ -134,14 +137,17 @@ class Config:
         # Per-dataset protocol overrides, forced exactly like the
         # reference's parse_argument (config.py:62-67): MIND-small trains
         # 16 epochs at dropout 0.2, MIND-large 7 at 0.1, regardless of the
-        # --epoch flag. Harnesses that need a different budget (e.g. the
-        # parity study) reassign cfg.epoch after construction.
+        # --epoch flag. `epoch_override` (no reference counterpart) is the
+        # explicit escape for harnesses that need a different budget (the
+        # parity study trains both frameworks for the same reduced count).
         if self.dataset == "MIND-small":
             self.dropout_rate = 0.2
             self.epoch = 16
         elif self.dataset == "MIND-large":
             self.dropout_rate = 0.1
             self.epoch = 7
+        if self.epoch_override > 0:
+            self.epoch = self.epoch_override
 
     # ----- derived quantities -----
     @property

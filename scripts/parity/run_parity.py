@@ -133,14 +133,14 @@ def our_config(workdir: str, seed: int, **over):
         use_pallas=False,
         dedup_titles=0,       # avoid the shared-dropout-mask dedup deviation
         rng_impl="threefry",
+        # __post_init__ force-resets epoch for MIND-small exactly like the
+        # reference's parse_argument (config.py:62-64); epoch_override is
+        # the explicit escape, and it survives the CLI flag round-trip
+        epoch_override=GEOMETRY["epoch"],
         **{k: v for k, v in GEOMETRY.items()},
     )
     kw.update(over)
-    cfg = Config(**kw)
-    # __post_init__ force-resets dropout/epoch for MIND-small exactly like
-    # the reference's parse_argument (config.py:62-64) — re-apply geometry
-    cfg.epoch = GEOMETRY["epoch"]
-    return cfg.validate()
+    return Config(**kw).validate()
 
 
 def convert_sag_to_reference(cache_dir: str, ref_rundir: str, cfg) -> None:

@@ -42,9 +42,12 @@ import run_parity as RP  # noqa: E402
 
 # Reference production geometry (reference config.py:29-53): D = 16x25 =
 # 400, news_graph_size = 1+5+20 = 26, Gu = 50 + category_num. Protocol
-# knobs (optimizer, loss, clip, criterion) at reference defaults; lr and
-# epoch sized for tiny-corpus convergence on 4 CPU cores (the reference
-# side costs ~0.35 s/sample here — measured by probe_ref_step.py).
+# knobs (optimizer, loss, clip, criterion) at reference defaults; lr,
+# batch and epoch sized for tiny-corpus convergence on 4 CPU cores (the
+# reference side costs ~0.35 s/sample here — probe_ref_step.py): batch 32
+# doubles updates/epoch at identical per-sample cost, which the 30-step
+# epochs of a first batch-64 attempt needed (dev AUC still climbing at
+# epoch 14).
 GEOMETRY = dict(
     word_embedding_dim=300,
     MSA_head_num=16, MSA_head_dim=25,   # news_embedding_dim = 400
@@ -55,18 +58,18 @@ GEOMETRY = dict(
     SAG_neighbors=5, SAG_hops=2,        # news_graph_size = 26
     graph_depth=3,
     negative_sample_num=4,
-    batch_size=64,
+    batch_size=32,
     lr=1e-3,
-    epoch=5,
+    epoch=6,
     early_stopping_epoch=5,
     word_threshold=3,
     dev_criterion="avg",
 )
 
 DATASET = dict(
-    news_num=4000, categories=10, train_behaviors=1500, dev_behaviors=500,
+    news_num=3000, categories=10, train_behaviors=1500, dev_behaviors=500,
     test_behaviors=500, users=300, max_impressions=10, seed=11,
-    pref_alpha=0.12, click_base=0.05, click_scale=0.9,
+    pref_alpha=0.10, click_base=0.03, click_scale=0.95,  # sharp signal
     min_history=8, max_history=60,      # truncates at max_history_num=50
 )
 
@@ -153,6 +156,12 @@ def main(argv=None):
     ap.add_argument("--frameworks", nargs="+",
                     default=["digat_tpu", "reference"])
     args = ap.parse_args(argv)
+
+    # The PARENT must never attach the axon TPU backend: the tunnel serves
+    # one client, and a parent holding it starves the per-seed CLI
+    # subprocesses (which are the ones meant to run on the chip). Pin CPU
+    # before anything imports jax.
+    RP.pin_cpu()
 
     # Production geometry/dataset for every helper reused from run_parity
     # (their module globals drive our_config / ref_overrides / gen_*).

@@ -2,18 +2,16 @@
 
 Codifies the reference's own acceptance bar — "no AUC/MRR/nDCG degradation
 (accurate to 1e-4)" after an optimization (reference README.md:64) — as an
-executable bound at the REAL model geometry: D=400, depth 3, G=26 SAG /
-68 user-graph nodes, B=64x(1+4)=320 flattened, MSA 16x25, H=50, L=32.
+executable bound against an independent float64 NumPy oracle of the whole
+model (news encoder + graph encoder + logits + listwise NLL).
 
-Two checks:
+Two tiers (round-3 VERDICT weak #6):
 
-1. eval: the production path (dedup batch, Pallas kernels when on TPU,
-   rbg PRNG) against an independent float64 NumPy oracle of the whole
-   model (news encoder + graph encoder + logits + listwise NLL).
-2. train gradients: the production fp32 path against the same composition
-   run end-to-end in float64 (XLA fallback kernels, CPU) — this is the
-   stated gradient bound; it fails if any kernel, fusion, or the Pallas
-   custom VJP drifts.
+* fast (default run): the same whole-model oracle comparison at REDUCED
+  geometry (D=40, G=5, H=8) — every code path, seconds not minutes;
+* slow (nightly, `-m slow`): the REAL model geometry — D=400, depth 3,
+  G=26 SAG / 68 user-graph nodes, B=64x(1+4)=320 flattened, MSA 16x25,
+  H=50, L=32 — plus the fp32-vs-fp64 end-to-end gradient bound.
 
 On CPU (default suite) this bounds the XLA fp32 composition; with
 DIGAT_TPU_TESTS=1 on hardware the production leg exercises the real
@@ -36,14 +34,11 @@ from digat_tpu.models.model import CorpusTables, Model, TrainBatch
 
 from . import oracle
 
-NEWS_NUM = 1500
-VOCAB = 4000
-
 
 def _real_geometry_config(**kw):
     base = dict(
         dataset="synthetic",
-        vocabulary_size=VOCAB,
+        vocabulary_size=4000,
         category_num=18,  # MIND-small category count -> Gu = 68
         use_pallas=jax.default_backend() == "tpu",
         rng_impl="rbg" if jax.default_backend() == "tpu" else "threefry",
@@ -52,34 +47,52 @@ def _real_geometry_config(**kw):
     return Config(**base)
 
 
-def _synthetic_tables(cfg, rng):
+def _reduced_geometry_config(**kw):
+    """Small shapes for the fast tier: same code paths, seconds not
+    minutes (news_graph_size = 1+2+2 = 5, Gu = 8+5 = 13, D = 40)."""
+    base = dict(
+        dataset="synthetic",
+        vocabulary_size=300,
+        category_num=5,
+        max_history_num=8, max_title_length=10,
+        SAG_neighbors=2, SAG_hops=2,
+        MSA_head_num=4, MSA_head_dim=10, cnn_kernel_num=40,
+        attention_dim=32, batch_size=8,
+        use_pallas=jax.default_backend() == "tpu",
+        rng_impl="rbg" if jax.default_backend() == "tpu" else "threefry",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _synthetic_tables(cfg, rng, news_num):
     Gn, L = cfg.news_graph_size, cfg.max_title_length
     return CorpusTables(
         news_title_text=jnp.asarray(
-            rng.integers(0, cfg.vocabulary_size, (NEWS_NUM, L)), jnp.int32
+            rng.integers(0, cfg.vocabulary_size, (news_num, L)), jnp.int32
         ),
         news_title_mask=jnp.asarray(
             np.concatenate(
-                [np.ones((NEWS_NUM, 1), bool),
-                 rng.random((NEWS_NUM, L - 1)) < 0.7], axis=1,
+                [np.ones((news_num, 1), bool),
+                 rng.random((news_num, L - 1)) < 0.7], axis=1,
             )
         ),
         news_node_id=jnp.asarray(
-            rng.integers(0, NEWS_NUM, (NEWS_NUM, Gn)), jnp.int32
+            rng.integers(0, news_num, (news_num, Gn)), jnp.int32
         ),
         news_graph=jnp.asarray(
-            (rng.random((NEWS_NUM, Gn, Gn)) < 0.3) | np.eye(Gn, dtype=bool)
+            (rng.random((news_num, Gn, Gn)) < 0.3) | np.eye(Gn, dtype=bool)
         ),
         news_graph_mask=jnp.asarray(
             np.concatenate(
-                [np.zeros((NEWS_NUM, 1), bool),
-                 rng.random((NEWS_NUM, Gn - 1)) < 0.8], axis=1,
+                [np.zeros((news_num, 1), bool),
+                 rng.random((news_num, Gn - 1)) < 0.8], axis=1,
             )
         ),
     )
 
 
-def _train_batch(cfg, rng, B):
+def _train_batch(cfg, rng, B, news_num):
     H, K = cfg.max_history_num, cfg.negative_sample_num
     cat = rng.integers(0, cfg.category_num + 1, (B, H)).astype(np.int32)
     # some rows with short histories (pad tail), like real behaviors
@@ -87,9 +100,11 @@ def _train_batch(cfg, rng, B):
         n = int(rng.integers(3, H))
         cat[i, n:] = cfg.category_num
     return TrainBatch(
-        history_idx=jnp.asarray(rng.integers(0, NEWS_NUM, (B, H)), jnp.int32),
+        history_idx=jnp.asarray(rng.integers(0, news_num, (B, H)), jnp.int32),
         cat_idx=jnp.asarray(cat),
-        sample_idx=jnp.asarray(rng.integers(0, NEWS_NUM, (B, 1 + K)), jnp.int32),
+        sample_idx=jnp.asarray(
+            rng.integers(0, news_num, (B, 1 + K)), jnp.int32
+        ),
         weight=jnp.ones((B,), jnp.float32),
     )
 
@@ -108,14 +123,17 @@ def _dedup(cfg, tables, batch, with_emb_meta):
     )
 
 
-@pytest.mark.slow
-def test_full_model_eval_parity_vs_fp64_oracle():
+# ---------------------------------------------------------------------------
+# parameterized checks (fast tier calls them at reduced geometry, slow tier
+# at the real geometry)
+# ---------------------------------------------------------------------------
+
+def _check_eval_parity(cfg, news_num, seed=7):
     """Production eval path vs the independent float64 NumPy oracle."""
-    cfg = _real_geometry_config()
     model = Model(cfg)
-    rng = np.random.default_rng(7)
-    tables = _synthetic_tables(cfg, rng)
-    batch = _train_batch(cfg, rng, cfg.batch_size)
+    rng = np.random.default_rng(seed)
+    tables = _synthetic_tables(cfg, rng, news_num)
+    batch = _train_batch(cfg, rng, cfg.batch_size, news_num)
     params = model.init(jax.random.PRNGKey(0))
 
     on_tpu = jax.default_backend() == "tpu"
@@ -128,11 +146,19 @@ def test_full_model_eval_parity_vs_fp64_oracle():
 
     # float64 oracle: encode every unique news once, then the graph math
     pn = jax.tree.map(np.asarray, params)
-    tokens = np.asarray(tables.news_title_text)
-    tmask = np.asarray(tables.news_title_mask)
-    news_reps = oracle.msa_encode_np(
-        pn["news_encoder"], tokens, tmask, cfg.MSA_head_num
-    )
+    if cfg.news_encoder == "CNN":
+        from digat_tpu.layers import conv_bank_widths
+
+        news_reps = oracle.cnn_encode_np(
+            pn["news_encoder"], np.asarray(tables.news_title_text),
+            np.asarray(tables.news_title_mask),
+            conv_bank_widths(cfg.cnn_method, cfg.cnn_window_size),
+        )
+    else:
+        news_reps = oracle.msa_encode_np(
+            pn["news_encoder"], np.asarray(tables.news_title_text),
+            np.asarray(tables.news_title_mask), cfg.MSA_head_num
+        )
     ref = oracle.model_eval_np(
         pn["graph_encoder"], cfg.graph_encoder, cfg.graph_depth,
         cfg.max_history_num, cfg.category_num, cfg.MSA_head_num,
@@ -144,69 +170,27 @@ def test_full_model_eval_parity_vs_fp64_oracle():
 
     scale = np.abs(ref).max()
     err = np.abs(logits - ref).max() / scale
-    # listwise NLL: the quantity training actually optimizes
-    nll = float(jax.jit(model.loss)(
-        params, tables, dbatch, jax.random.PRNGKey(1)
-    ))  # train=True, but dropout draws differ -> compare eval NLL instead
     nll_prod = oracle.listwise_nll_np(logits.astype(np.float64),
                                       np.asarray(batch.weight))
     nll_ref = oracle.listwise_nll_np(ref, np.asarray(batch.weight))
-    print(f"eval parity: rel err {err:.3e}, NLL prod {nll_prod:.8f} "
-          f"ref {nll_ref:.8f} (train-mode loss {nll:.4f})")
+    print(f"eval parity [{cfg.news_encoder}, D={cfg.news_embedding_dim}]: "
+          f"rel err {err:.3e}, NLL prod {nll_prod:.8f} ref {nll_ref:.8f}")
     # fp32 vs fp64 through depth-3 graph recursion: observed ~1e-5 relative;
     # 1e-4 is the reference's own drift bar (README.md:64)
     assert err < 1e-4, f"logit drift {err:.3e} exceeds the 1e-4 parity bar"
-    assert abs(nll_prod - nll_ref) < 1e-5
+    # relative: CNN logits at init scale put the listwise NLL near 20, so
+    # an absolute 1e-5 bar would demand ~5e-7 relative — tighter than the
+    # fp32 logit bound itself
+    assert abs(nll_prod - nll_ref) / max(1.0, abs(nll_ref)) < 1e-5
 
 
-@pytest.mark.slow
-def test_full_model_eval_parity_cnn_vs_fp64_oracle():
-    """Same whole-model bound for the CNN news-encoder variant."""
-    from digat_tpu.layers import conv_bank_widths
-
-    cfg = _real_geometry_config(news_encoder="CNN", batch_size=32)
-    model = Model(cfg)
-    rng = np.random.default_rng(13)
-    tables = _synthetic_tables(cfg, rng)
-    batch = _train_batch(cfg, rng, cfg.batch_size)
-    params = model.init(jax.random.PRNGKey(0))
-
-    dbatch = _dedup(cfg, tables, batch,
-                    with_emb_meta=jax.default_backend() == "tpu")
-    logits = np.asarray(
-        jax.jit(lambda p, t, b: model.forward_indexed(
-            p, t, b, jax.random.PRNGKey(1), train=False
-        ))(params, tables, dbatch)
-    )
-
-    pn = jax.tree.map(np.asarray, params)
-    news_reps = oracle.cnn_encode_np(
-        pn["news_encoder"], np.asarray(tables.news_title_text),
-        np.asarray(tables.news_title_mask),
-        conv_bank_widths(cfg.cnn_method, cfg.cnn_window_size),
-    )
-    ref = oracle.model_eval_np(
-        pn["graph_encoder"], cfg.graph_encoder, cfg.graph_depth,
-        cfg.max_history_num, cfg.category_num, cfg.MSA_head_num,
-        news_reps, np.asarray(tables.news_node_id),
-        np.asarray(tables.news_graph), np.asarray(tables.news_graph_mask),
-        np.asarray(batch.history_idx), np.asarray(batch.cat_idx),
-        np.asarray(batch.sample_idx),
-    )
-    err = np.abs(logits - ref).max() / np.abs(ref).max()
-    print(f"CNN eval parity: rel err {err:.3e}")
-    assert err < 1e-4, f"logit drift {err:.3e} exceeds the 1e-4 parity bar"
-
-
-@pytest.mark.slow
-def test_full_model_grad_parity_vs_fp64():
+def _check_grad_parity(cfg, news_num, rel_bound=3e-3):
     """Production fp32 gradients vs the float64 composition (dropout off)."""
-    cfg = _real_geometry_config(dropout_rate=0.0, batch_size=16)
     cfg.dropout_rate = 0.0  # __post_init__ re-applies dataset defaults
     model = Model(cfg)
     rng = np.random.default_rng(11)
-    tables = _synthetic_tables(cfg, rng)
-    batch = _train_batch(cfg, rng, cfg.batch_size)
+    tables = _synthetic_tables(cfg, rng, news_num)
+    batch = _train_batch(cfg, rng, cfg.batch_size, news_num)
     params = model.init(jax.random.PRNGKey(0))
 
     on_tpu = jax.default_backend() == "tpu"
@@ -265,5 +249,50 @@ def test_full_model_grad_parity_vs_fp64():
     print(f"grad parity: global rel {rel:.3e} cos {cos:.10f} "
           f"worst leaf {worst[1]} rel-max {worst[0]:.3e}")
     # stated gradient bound: fp32 production vs fp64, global relative error
-    assert rel < 3e-3, f"gradient drift {rel:.3e}"
+    assert rel < rel_bound, f"gradient drift {rel:.3e}"
     assert cos > 1.0 - 1e-6
+
+
+# ---------------------------------------------------------------------------
+# fast tier: reduced geometry, runs in the default suite
+# ---------------------------------------------------------------------------
+
+def test_eval_parity_vs_fp64_oracle_reduced():
+    _check_eval_parity(_reduced_geometry_config(), news_num=120)
+
+
+def test_eval_parity_cnn_vs_fp64_oracle_reduced():
+    _check_eval_parity(
+        _reduced_geometry_config(news_encoder="CNN"), news_num=120, seed=13
+    )
+
+
+def test_grad_parity_vs_fp64_reduced():
+    _check_grad_parity(
+        _reduced_geometry_config(dropout_rate=0.0), news_num=120
+    )
+
+
+# ---------------------------------------------------------------------------
+# slow tier (nightly): the real production geometry
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_full_model_eval_parity_vs_fp64_oracle():
+    _check_eval_parity(_real_geometry_config(), news_num=1500)
+
+
+@pytest.mark.slow
+def test_full_model_eval_parity_cnn_vs_fp64_oracle():
+    _check_eval_parity(
+        _real_geometry_config(news_encoder="CNN", batch_size=32),
+        news_num=1500, seed=13,
+    )
+
+
+@pytest.mark.slow
+def test_full_model_grad_parity_vs_fp64():
+    _check_grad_parity(
+        _real_geometry_config(dropout_rate=0.0, batch_size=16),
+        news_num=1500,
+    )
