@@ -43,6 +43,7 @@ from digat_tpu.ops import (
     segment_softmax_sum,
     vanilla_gat_scores,
 )
+from digat_tpu.ops.gat import interactive_gat_scores_fused_y
 
 VARIANTS = (
     "DIGAT",
@@ -63,6 +64,16 @@ VARIANTS = (
 # (full-minus-encoder overhead: 1.4 ms fused vs 6.9 ms unfused). End-to-end
 # is what ships, so the fused kernel is on by default.
 _FUSED_LAYER_MIN_NODES = int(os.environ.get("DIGAT_FUSED_MIN_NODES", "0"))
+
+# Feed the Eq.(8) score kernel the fused projection y directly (the kernel
+# slices the k1/k2 columns in VMEM) instead of XLA-sliced k1/k2 operands.
+# Round-4 A/B verdict: OFF. In the full train step the fused-y forward
+# blows the 16M scoped-VMEM stack (18.8M, TB-independent — Mosaic
+# materializes the lane-offset slices on the stack), so the XLA slice
+# relayouts stay (round-3's split-projection A/B already bounded them as
+# cheaper than the alternatives). Kept as an env-gated variant with
+# interpret + hardware parity tests.
+_FUSED_Y = os.environ.get("DIGAT_FUSED_Y", "0") not in ("0", "false")
 
 
 class GraphStatic(NamedTuple):
@@ -237,11 +248,20 @@ def _gat_layer(gat, i, st, rng, train, x, adj, query):
         )
         y = x @ wcat
         h = y[..., :D] + gat["W"]["b"][i]
-        k1 = y[..., D : 2 * D]
-        k2 = y[..., 2 * D :]
         k3 = L.stacked_linear(gat["ffn3"], i, query)
         a_vec = gat["a"]["w"][i, :, 0]
-        scores = interactive_gat_scores(k1, k2, k3, a_vec, use_pallas=st.use_pallas)
+        if st.use_pallas and _FUSED_Y:
+            # the kernel block-indexes k1/k2 out of y itself — no
+            # non-lane-aligned slice relayouts feeding the custom call
+            scores = interactive_gat_scores_fused_y(
+                y, k3, a_vec, use_pallas=True
+            )
+        else:
+            k1 = y[..., D : 2 * D]
+            k2 = y[..., 2 * D :]
+            scores = interactive_gat_scores(
+                k1, k2, k3, a_vec, use_pallas=st.use_pallas
+            )
     else:
         h = L.stacked_linear(gat["W"], i, x)
         scores = vanilla_gat_scores(h, gat["a1"]["w"][i, :, 0], gat["a2"]["w"][i, :, 0])

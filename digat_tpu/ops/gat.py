@@ -50,6 +50,22 @@ def interactive_gat_scores(k1, k2, k3, a_vec, *, use_pallas: bool = False):
     return interactive_gat_scores_xla(k1, k2, k3, a_vec)
 
 
+def interactive_gat_scores_fused_y(y, k3, a_vec, *, use_pallas: bool = False):
+    """Eq.(8) scores straight from the fused projection y = x @ [W|ffn1|ffn2]
+    ([B, G, 3D]): on the Pallas path the kernel block-indexes the k1/k2
+    column blocks of y itself, avoiding the non-lane-aligned slice
+    relayouts (D=400 is not a multiple of 128) that feeding the custom
+    call with y[..., D:2D] / y[..., 2D:] would cost."""
+    if use_pallas:
+        from digat_tpu.ops.pallas.gat_scores import (
+            interactive_gat_scores_fused_y_pallas,
+        )
+
+        return interactive_gat_scores_fused_y_pallas(y, k3, a_vec)
+    D = y.shape[-1] // 3
+    return interactive_gat_scores_xla(y[..., D:2 * D], y[..., 2 * D:], k3, a_vec)
+
+
 def vanilla_gat_scores(h, a1_vec, a2_vec):
     """Additive GAT logits: score[b,i,j] = a1.h[b,j] + a2.h[b,i].
 

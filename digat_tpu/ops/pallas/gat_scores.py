@@ -232,6 +232,131 @@ def _scores_bwd(batch_tile, res, g):
 _scores.defvjp(_scores_fwd, _scores_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused-y entry point: consume the [B, G, 3D] projection product directly
+# ---------------------------------------------------------------------------
+# The train path computes one fused [D, 3D] matmul y = x @ [W|ffn1|ffn2]
+# (graph_encoders._gat_layer); slicing k1 = y[..., D:2D] / k2 = y[..., 2D:]
+# to feed this custom call costs relayout copies because D=400 is not a
+# multiple of the 128-lane tile. These wrappers instead pass y to the
+# kernel TWICE with block index maps selecting the k1 / k2 column blocks
+# (block size D divides 3D exactly), so XLA never materializes the slices.
+# The backward still produces separate gk1/gk2 and assembles dy with a
+# zero-block concat, which XLA fuses with the h-path pad-add.
+
+
+def _scores_y_kernel(y_ref, k3_ref, a_ref, out_ref):
+    """y: [TB, G, 3D] (columns h|k1|k2); k3: [TB, D]; a: [1, D];
+    out: [TB, G, G]. Same math as _scores_kernel with the k1/k2 column
+    slices taken in VMEM (static lane-offset slices)."""
+    G = y_ref.shape[1]
+    D = y_ref.shape[2] // 3
+    k3 = k3_ref[:, :].astype(jnp.float32)
+    k1 = y_ref[:, :, pl.ds(D, D)].astype(jnp.float32)
+    base = k1 + k3[:, None, :]
+    a = a_ref[0, :].astype(jnp.float32)
+    IB = UNROLL
+
+    def block(i0, width):
+        rows = y_ref[:, pl.ds(i0, width), pl.ds(2 * D, D)].astype(jnp.float32)
+        t = jax.nn.relu(base[:, None, :, :] + rows[:, :, None, :])
+        out_ref[:, pl.ds(i0, width), :] = jnp.sum(
+            t * a[None, None, None, :], axis=-1
+        ).astype(out_ref.dtype)
+
+    def body(i, _):
+        block(i * IB, IB)
+        return 0
+
+    jax.lax.fori_loop(0, G // IB, body, 0)
+    if G % IB:
+        block((G // IB) * IB, G % IB)
+
+
+def _scores_y_fwd_pallas(y, k3, a_vec, batch_tile: int):
+    B, G, D3 = y.shape
+    D = D3 // 3
+    TB = batch_tile
+    # the full-width y block + the unrolled sweep temporaries overflow the
+    # 16M scoped-VMEM stack at TB=8 for the user graph (measured 18.8M at
+    # TB=8, G=68, D=400); the 9x multiplier reproduces that failure with
+    # margin and leaves the news graph (G=26) at TB=8
+    while TB > 1 and TB * G * D * 4 * 9 > 26_000_000:
+        TB //= 2
+    pad = (-B) % TB
+    if pad:
+        y = jnp.pad(y, ((0, pad), (0, 0), (0, 0)))
+        k3 = jnp.pad(k3, ((0, pad), (0, 0)))
+    Bp = B + pad
+    out = pl.pallas_call(
+        _scores_y_kernel,
+        grid=(Bp // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, G, D3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, G, G), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, G, G), y.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * G * G * D,
+            bytes_accessed=(Bp * G * D3 + Bp * D + D + Bp * G * G) * 4,
+            transcendentals=0,
+        ),
+        interpret=_rt.INTERPRET,
+    )(y, k3, a_vec[None, :])
+    return out[:B] if pad else out
+
+
+def _scores_y_bwd_pallas(y, k3, a_vec, g, batch_tile: int):
+    D = y.shape[-1] // 3
+    return _scores_bwd_pallas(
+        y[..., D:2 * D], y[..., 2 * D:], k3, a_vec, g, batch_tile
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _scores_y(y, k3, a_vec, batch_tile):
+    return _scores_y_fwd_pallas(y, k3, a_vec, batch_tile)
+
+
+def _scores_y_fwd(y, k3, a_vec, batch_tile):
+    return _scores_y_fwd_pallas(y, k3, a_vec, batch_tile), (y, k3, a_vec)
+
+
+def _scores_y_bwd(batch_tile, res, g):
+    y, k3, a_vec = res
+    gk1, gk2, gk3, ga = _scores_y_bwd_pallas(
+        y.astype(jnp.float32), k3.astype(jnp.float32),
+        a_vec.astype(jnp.float32), g.astype(jnp.float32), batch_tile,
+    )
+    gy = jnp.concatenate(
+        [jnp.zeros_like(gk1), gk1, gk2], axis=-1
+    ).astype(y.dtype)
+    return gy, gk3.astype(k3.dtype), ga.astype(a_vec.dtype)
+
+
+_scores_y.defvjp(_scores_y_fwd, _scores_y_bwd)
+
+
+def interactive_gat_scores_fused_y_pallas(
+    y, k3, a_vec, batch_tile: int = DEFAULT_BATCH_TILE
+):
+    """Eq.(8) scores from the fused projection y = x @ [W|ffn1|ffn2]
+    ([B, G, 3D]; k1 = middle block, k2 = last block). Off-TPU falls back
+    to slicing + the XLA expression."""
+    if not _rt.pallas_available():
+        D = y.shape[-1] // 3
+        return _scores_xla(y[..., D:2 * D], y[..., 2 * D:], k3, a_vec)
+    if y.dtype != jnp.float32:
+        out = _scores_y(
+            y.astype(jnp.float32), k3.astype(jnp.float32),
+            a_vec.astype(jnp.float32), batch_tile,
+        )
+        return out.astype(y.dtype)
+    return _scores_y(y, k3, a_vec, batch_tile)
+
+
 def interactive_gat_scores_pallas(k1, k2, k3, a_vec, batch_tile: int = DEFAULT_BATCH_TILE):
     """Fused Eq.(8) scores. Falls back to the XLA expression off-TPU.
 

@@ -551,3 +551,37 @@ def test_grouped_attention_nrms_user_shape(tpu):
     mask = jnp.asarray(rng.random((1024, L)) < 0.8)
     big = msa_attention_grouped(*big_in, heads, dk, mask=mask)
     assert bool(jnp.isfinite(big).all())
+
+
+def test_gat_scores_fused_y_matches_sliced(tpu):
+    """Fused-y entry point (y passed twice with k1/k2 block index maps) ==
+    the sliced-operand kernel, fwd and all grads, on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from digat_tpu.ops.pallas.gat_scores import (
+        interactive_gat_scores_fused_y_pallas,
+        interactive_gat_scores_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    for B, G in [(40, 26), (40, 68)]:
+        D = 400
+        y = jnp.asarray(rng.normal(size=(B, G, 3 * D)), jnp.float32)
+        k3 = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        a = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+
+        def f_sliced(y, k3, a):
+            return jnp.sum(interactive_gat_scores_pallas(
+                y[..., D:2 * D], y[..., 2 * D:], k3, a) ** 2)
+
+        def f_fused(y, k3, a):
+            return jnp.sum(
+                interactive_gat_scores_fused_y_pallas(y, k3, a) ** 2)
+
+        v1, g1 = jax.jit(jax.value_and_grad(f_sliced, argnums=(0, 1, 2)))(y, k3, a)
+        v2, g2 = jax.jit(jax.value_and_grad(f_fused, argnums=(0, 1, 2)))(y, k3, a)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        for a1, a2 in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                       rtol=1e-5, atol=2e-4)

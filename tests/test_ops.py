@@ -76,3 +76,47 @@ def test_vanilla_gat_scores_orientation():
     assert np.all(s[:, :, 2] == 1.0)
     s[:, :, 2] = 0
     assert np.all(s == 0)
+
+
+def test_fused_y_scores_match_sliced(monkeypatch):
+    """The fused-y entry point (kernel block-indexes k1/k2 out of
+    y = x @ [W|ffn1|ffn2]) must equal the sliced path exactly — fwd and
+    grads — in interpret mode (the hardware twin lives in
+    tests/test_kernels_tpu.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from digat_tpu.ops.gat import (
+        interactive_gat_scores,
+        interactive_gat_scores_fused_y,
+    )
+    from digat_tpu.ops.pallas import runtime as plrt
+
+    rng = np.random.default_rng(3)
+    B, G, D = 12, 10, 128
+    y = jnp.asarray(rng.normal(size=(B, G, 3 * D)), jnp.float32)
+    k3 = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    a = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+
+    def f_sliced(y, k3, a):
+        return jnp.sum(
+            interactive_gat_scores(
+                y[..., D:2 * D], y[..., 2 * D:], k3, a, use_pallas=True
+            ) ** 2
+        )
+
+    def f_fused(y, k3, a):
+        return jnp.sum(
+            interactive_gat_scores_fused_y(y, k3, a, use_pallas=True) ** 2
+        )
+
+    plrt.set_interpret(True)
+    try:
+        v1, g1 = jax.value_and_grad(f_sliced, argnums=(0, 1, 2))(y, k3, a)
+        v2, g2 = jax.value_and_grad(f_fused, argnums=(0, 1, 2))(y, k3, a)
+    finally:
+        plrt.set_interpret(False)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a1, a2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=1e-5, atol=1e-5)
