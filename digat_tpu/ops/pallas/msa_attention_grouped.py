@@ -222,13 +222,19 @@ def _bwd_kernel(G, g, L, dkp, scale, masked, mm_prec, seg_prec, *refs):
 
 def _auto_tile(L, Dp, itemsize, nbuf, budget=10 * 1024 * 1024):
     """Largest power-of-two batch tile whose double-buffered windows fit
-    the scoped-VMEM budget. The batch axis is a leading (untiled) block
-    dim, so tiles below 8 are legal — required at e.g. the NRMS user
-    encoder's eval shape [B, 50, 1280], where tile=8 blew the 16M scoped
-    limit (measured on v5e: 17.54M requested)."""
+    the scoped-VMEM budget, capped at 8. The batch axis is a leading
+    (untiled) block dim, so tiles below 8 are legal — required at e.g.
+    the NRMS user encoder's eval shape [B, 50, 1280], where tile=8 blew
+    the 16M scoped limit (measured on v5e: 17.54M requested). The cap
+    exists because the IO-window model here does not account for the
+    kernel's stack temporaries, which also scale with the tile: the
+    NRMS-SA TRAIN shape (L=16, Dp=250, g=5) chose tile=32 and overflowed
+    the stack (16.62M > 16M measured on v5e); every production shape
+    selects tile <= 8, so the cap only affects small-window shapes where
+    extra grid steps are cheap."""
     t = budget // (nbuf * 2 * L * Dp * itemsize)
     t = max(int(t), 1)
-    return 1 << (t.bit_length() - 1)
+    return min(1 << (t.bit_length() - 1), 8)
 
 
 def _pad_batch(arrs, tile):

@@ -35,7 +35,7 @@ def main():
         est.append((t2 - t1) / 50)
     ms = float(np.median(est)) * 1e3
     print(f"train step B=64: {ms:.2f} ms  ({64 / (ms / 1e3):,.0f} samples/s)"
-          f"  [DIGAT_FUSED_Y={os.environ.get('DIGAT_FUSED_Y', '1')}]",
+          f"  [DIGAT_FUSED_Y={os.environ.get('DIGAT_FUSED_Y', '0')}]",
           flush=True)
 
 
