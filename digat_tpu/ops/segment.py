@@ -39,8 +39,11 @@ def segment_softmax_sum(scores, values, segment_ids, num_segments: int):
       of each segment (zeros for empty segments).
     """
     out_dtype = values.dtype
-    scores = scores.astype(jnp.float32)  # per-segment softmax in fp32
-    onehot = jax.nn.one_hot(segment_ids, num_segments, dtype=jnp.float32)
+    # per-segment softmax in >= fp32 (f64 inputs stay f64: the weight-
+    # transplant parity leg runs the whole model in double precision)
+    acc = jnp.promote_types(scores.dtype, jnp.float32)
+    scores = scores.astype(acc)
+    onehot = jax.nn.one_hot(segment_ids, num_segments, dtype=acc)
     # max per segment (for numerical stability), gathered back per position
     masked = jnp.where(onehot > 0, scores[..., None], NEG_INF)  # [...,H,S]
     seg_max = jnp.max(masked, axis=-2)  # [...,S]
