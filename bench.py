@@ -352,7 +352,12 @@ def main():
                     "train_samples_per_s_bf16": round(train16, 1),
                     "train_samples_per_s_b256": round(train_big, 1),
                     "inference_items_per_s_bf16": round(items16, 1),
+                    # first-call time is dominated by the REMOTE compile
+                    # through the tunnel (20s..240s observed across rounds
+                    # for identical code) — compare stage1_steady_s across
+                    # rounds, never stage1_first_s
                     "stage1_first_s": round(stage1_first_s, 2),
+                    "stage1_first_s_note": "remote-compile variance; not comparable across rounds",
                     "stage1_steady_s": round(stage1_steady_s, 2),
                     "backend": backend,
                     "baseline": "RTX3090 fp32 ~600s MIND-small test ~= 4500 items/s",

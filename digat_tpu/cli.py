@@ -120,12 +120,17 @@ def run_train(cfg: Config) -> None:
         # Unlabeled test split (MIND-large): the deliverable is the
         # leaderboard submission zip, not a metrics row (the reference's
         # train flow hands off to test() which writes prediction.zip,
-        # main.py:47-51,59-62).
-        unlabeled = np.asarray(corpus.test_labels).sum() == 0
+        # main.py:47-51,59-62). Detection uses the pre-clamp -1 sentinel
+        # the corpus preserves, not the clamped label sum.
+        unlabeled = corpus.test_unlabeled
         if trainer.is_main:
             if unlabeled:
+                # per-run submission dir (reference main.py:48-50 layout);
+                # without #run_index a second run would overwrite the
+                # previous run's leaderboard zip
                 pred_dir = os.path.join(
-                    cfg.run_root, "prediction", cfg.dataset, model.model_name
+                    cfg.run_root, "prediction", cfg.dataset, model.model_name,
+                    f"#{trainer.run_index}",
                 )
                 os.makedirs(pred_dir, exist_ok=True)
                 result_file = os.path.join(pred_dir, "prediction.txt")
@@ -169,9 +174,11 @@ def run_eval(cfg: Config, mode: str) -> None:
     t0 = time.time()
     out = cfg.test_output_file or None
     if cfg.dataset == "MIND-large" and mode == "test" and not out:
+        # standalone test mode scores run_index 0 like the reference
+        # (main.py:68); per-run dirs keep submissions from colliding
         out = os.path.join(
             cfg.run_root, "prediction", cfg.dataset, model.model_name,
-            "prediction.txt",
+            f"#{cfg.run_index}", "prediction.txt",
         )
         os.makedirs(os.path.dirname(out), exist_ok=True)
     auc, mrr, ndcg5, ndcg10 = compute_scores(

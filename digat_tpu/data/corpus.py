@@ -324,6 +324,10 @@ def _assemble_split(
         out[f"{split}_imp_index"] = np.repeat(
             np.arange(rows, dtype=np.int32), items_per_row
         )
+        # unlabeled sentinel preserved BEFORE the clamp: a genuinely
+        # unlabeled split (MIND-large test) must be distinguishable from a
+        # labeled split that happens to contain zero positives
+        out[f"{split}_unlabeled"] = np.any(ragged["label_flat"] < 0)
         out[f"{split}_labels"] = np.maximum(
             ragged["label_flat"], 0
         ).astype(np.int8)  # unlabeled -> 0, as the reference treats them
@@ -389,6 +393,13 @@ class Corpus:
             setattr(self, f"{s}_cand", b[f"{s}_cand"])
             setattr(self, f"{s}_imp_index", b[f"{s}_imp_index"])
             setattr(self, f"{s}_labels", b[f"{s}_labels"])
+            # pre-round-5 caches lack the sentinel flag; fall back to the
+            # old all-zero-labels inference for them
+            setattr(
+                self, f"{s}_unlabeled",
+                bool(b[f"{s}_unlabeled"]) if f"{s}_unlabeled" in b
+                else b[f"{s}_labels"].sum() == 0,
+            )
         self.cfg = cfg
 
     # -- device tables -----------------------------------------------------

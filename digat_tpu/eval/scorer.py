@@ -397,8 +397,10 @@ def compute_scores(
         ).sum(axis=0)
     if result_file:
         M.write_rank_file(result_file, M.group_by_impression(imp_index, scores))
-    if np.asarray(labels).sum() == 0:
+    if getattr(corpus, f"{mode}_unlabeled", np.asarray(labels).sum() == 0):
         # unlabeled split (MIND-large test): rank file is the deliverable,
-        # metrics come from the leaderboard (reference util.py:81-82)
+        # metrics come from the leaderboard (reference util.py:81-82). The
+        # corpus preserves the -1 sentinel pre-clamp, so a labeled split
+        # with zero positives still gets a metrics row.
         return (float("nan"),) * 4
     return M.score_impressions_flat(imp_index, labels, scores)

@@ -238,9 +238,12 @@ _scores.defvjp(_scores_fwd, _scores_bwd)
 # The train path computes one fused [D, 3D] matmul y = x @ [W|ffn1|ffn2]
 # (graph_encoders._gat_layer); slicing k1 = y[..., D:2D] / k2 = y[..., 2D:]
 # to feed this custom call costs relayout copies because D=400 is not a
-# multiple of the 128-lane tile. These wrappers instead pass y to the
-# kernel TWICE with block index maps selecting the k1 / k2 column blocks
-# (block size D divides 3D exactly), so XLA never materializes the slices.
+# multiple of the 128-lane tile. These wrappers instead pass y ONCE as a
+# full-width [TB, G, 3D] block and take the k1/k2 column slices inside the
+# kernel with pl.ds, so XLA never materializes them — the cost is that
+# Mosaic materializes those lane-offset slices on the scoped-VMEM stack,
+# which is exactly why the round-4 A/B left this variant off by default
+# (the stack overflows at the user-graph shape; see _scores_y_fwd_pallas).
 # The backward still produces separate gk1/gk2 and assembles dy with a
 # zero-block concat, which XLA fuses with the h-path pad-add.
 
@@ -277,12 +280,13 @@ def _scores_y_fwd_pallas(y, k3, a_vec, batch_tile: int):
     B, G, D3 = y.shape
     D = D3 // 3
     TB = batch_tile
-    # the full-width y block + the unrolled sweep temporaries overflow the
-    # 16M scoped-VMEM stack at TB=8 for the user graph (measured 18.8M at
-    # TB=8, G=68, D=400); the 9x multiplier reproduces that failure with
-    # margin and leaves the news graph (G=26) at TB=8
-    while TB > 1 and TB * G * D * 4 * 9 > 26_000_000:
-        TB //= 2
+    # NOTE: at the user-graph shape (G=68, D=400) Mosaic materializes the
+    # in-kernel lane-offset slices of y on the scoped-VMEM stack and
+    # overflows the 16M limit (measured 18.8M) REGARDLESS of TB — the
+    # dominant term is the [*, G, D] slice temporaries, not the batch
+    # tile — so no tile-shrinking loop can save it. That is the round-4
+    # verdict for keeping this variant env-gated off (DIGAT_FUSED_Y); it
+    # remains valid for the news graph (G=26), where the stack fits.
     pad = (-B) % TB
     if pad:
         y = jnp.pad(y, ((0, pad), (0, 0), (0, 0)))

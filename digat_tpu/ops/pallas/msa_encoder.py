@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -289,6 +290,153 @@ def _bwd_kernel(G, g, L, dkp, A, Din, scale, att_prec, rate, *refs):
     dx_ref[:, :, :] = dx2.reshape(TN, L, Din).astype(dx_ref.dtype)
 
 
+def _bwd_kernel_v2(G, g, L, dkp, A, Din, scale, att_prec, rate, *refs):
+    """Round-5 pipelining restructure of the recompute backward.
+
+    v1 issues 12 narrow [TN*L, Din] x [Din, GD=128] projection matmuls (3
+    per group, forward recompute) and 12 more on the gradient side, each
+    serialized against that group's VPU work (expansions, grouped softmax)
+    by the per-group dataflow. v2 hoists ALL projection work to full-width
+    [TN*L, Din] x [Din, Dp] dots outside the group loop — forward qkv in 3
+    dots into the stash, gradient dx/dw in 3+3 dots from dq/dk/dv written
+    back into the stash slices after each group consumes its own — so the
+    only per-group work left is the attention core, whose (independent)
+    group iterations give the VLIW scheduler MXU/VPU overlap windows no
+    longer pinned by the projection chain. Same math, same VMEM budget
+    (the stash is reused for gradients), same tile size."""
+    (x_ref, m_ref, wq_ref, bq_ref, wk_ref, wv_ref, bv_ref, w1_ref, b1_ref,
+     vv_ref, bseg_ref, seed_ref, dp_ref,
+     dx_ref, dwq_ref, dbq_ref, dwk_ref, dwv_ref, dbv_ref, dw1_ref, db1_ref,
+     dvv_ref, h_ref, qkv_ref, att_ref) = refs
+    TN = x_ref.shape[0]
+    GD = g * dkp
+    Dp = G * GD
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dwq_ref[:, :] = jnp.zeros_like(dwq_ref)
+        dbq_ref[:, :] = jnp.zeros_like(dbq_ref)
+        dwk_ref[:, :] = jnp.zeros_like(dwk_ref)
+        dwv_ref[:, :] = jnp.zeros_like(dwv_ref)
+        dbv_ref[:, :] = jnp.zeros_like(dbv_ref)
+        dw1_ref[:, :] = jnp.zeros_like(dw1_ref)
+        db1_ref[:, :] = jnp.zeros_like(db1_ref)
+        dvv_ref[:, :] = jnp.zeros_like(dvv_ref)
+
+    x2 = x_ref[:, :, :].astype(jnp.float32).reshape(TN * L, Din)
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref, TN, L, Din, rate)
+        x2 = _apply_drop(x2, keep, rate)
+    bseg = bseg_ref[:, :]
+
+    # ---- recompute forward: full-width projections, then attention ----
+    qkv_ref[:, :, :Dp] = _proj(x2, wq_ref, slice(None), bq_ref).reshape(
+        TN, L, Dp)
+    qkv_ref[:, :, Dp:2 * Dp] = _proj(x2, wk_ref, slice(None), None).reshape(
+        TN, L, Dp)
+    qkv_ref[:, :, 2 * Dp:] = _proj(x2, wv_ref, slice(None), bv_ref).reshape(
+        TN, L, Dp)
+    for grp in range(G):
+        sl = slice(grp * GD, (grp + 1) * GD)
+        qg = qkv_ref[:, :, sl]
+        kg = qkv_ref[:, :, Dp + grp * GD : Dp + (grp + 1) * GD]
+        vg = qkv_ref[:, :, 2 * Dp + grp * GD : 2 * Dp + (grp + 1) * GD]
+        a, og = _attn_fwd(qg, kg, vg, g, dkp, L, scale, bseg, att_prec)
+        att_ref[:, :, grp * g * L : (grp + 1) * g * L] = a
+        h_ref[:, :, sl] = jax.nn.relu(og)
+
+    # ---- pool backward (identical to v1) ----
+    h = h_ref[:, :, :]
+    h2 = h.reshape(TN * L, Dp)
+    u, alpha = _pool_logits(h2, m_ref[:, :], w1_ref, b1_ref, vv_ref, TN, L)
+    dp = dp_ref[:, :].astype(jnp.float32)  # [TN, Dp]
+    dalpha = jnp.sum(dp[:, None, :] * h, axis=2)  # [TN, L]
+    dh = alpha[:, :, None] * dp[:, None, :]  # [TN, L, Dp]
+    dlg = (dalpha - jnp.sum(alpha * dalpha, axis=1, keepdims=True)) * alpha
+    dlg = jnp.where(m_ref[:, :], dlg, 0.0)[:, :, None]  # [TN, L, 1]
+    A_ = u.shape[1]
+    u3 = u.reshape(TN, L, A_)
+    dvv_ref[0, :] += jnp.sum(u3 * dlg, axis=(0, 1))
+    du = dlg * vv_ref[0, :].astype(jnp.float32)
+    dpre = (du * (1.0 - u3 * u3)).reshape(TN * L, A_)  # [TN*L, A]
+    dw1_ref[:, :] += jax.lax.dot_general(
+        h2, dpre, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+    db1_ref[0, :] += jnp.sum(dpre, axis=0)
+    dh = dh + jax.lax.dot_general(
+        dpre, w1_ref[:, :], (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    ).reshape(TN, L, Dp)
+
+    # ---- attention backward per group; dq/dk/dv overwrite the stash ----
+    head_of_lane = _lane_head((TN, L, GD), dkp, 2)
+    for grp in range(G):
+        sl = slice(grp * GD, (grp + 1) * GD)
+        og_pos = h_ref[:, :, sl] > 0.0
+        dog = jnp.where(og_pos, dh[:, :, grp * GD : (grp + 1) * GD], 0.0)
+        qg = qkv_ref[:, :, sl]
+        kg = qkv_ref[:, :, Dp + grp * GD : Dp + (grp + 1) * GD]
+        vg = qkv_ref[:, :, 2 * Dp + grp * GD : 2 * Dp + (grp + 1) * GD]
+        a = att_ref[:, :, grp * g * L : (grp + 1) * g * L]
+        vexpT = _expand_T(vg, g, dkp)
+        da = _dot(dog, vexpT, att_prec)
+        tsum = _seg_sum(da * a, bseg, att_prec)
+        ds = (da - tsum) * a * scale  # [TN, L, g*L]
+        kexp2 = _expand_S(kg, g, dkp, L)
+        dqg = _dot(ds, kexp2, att_prec)  # [TN, L, GD]
+        dsT = jnp.swapaxes(ds, 1, 2)
+        p = _dot(dsT, qg, att_prec)  # [TN, g*L, GD]
+        dkg = jnp.zeros((TN, L, GD), jnp.float32)
+        for h_i in range(g):
+            blk = p[:, h_i * L : (h_i + 1) * L, :]
+            dkg = dkg + jnp.where(head_of_lane == h_i, blk, 0.0)
+        aT = jnp.swapaxes(a, 1, 2)
+        p2 = _dot(aT, dog, att_prec)
+        dvg = jnp.zeros((TN, L, GD), jnp.float32)
+        for h_i in range(g):
+            blk = p2[:, h_i * L : (h_i + 1) * L, :]
+            dvg = dvg + jnp.where(head_of_lane == h_i, blk, 0.0)
+        qkv_ref[:, :, sl] = dqg
+        qkv_ref[:, :, Dp + grp * GD : Dp + (grp + 1) * GD] = dkg
+        qkv_ref[:, :, 2 * Dp + grp * GD : 2 * Dp + (grp + 1) * GD] = dvg
+
+    # ---- full-width projection gradients ----
+    dq2 = qkv_ref[:, :, :Dp].reshape(TN * L, Dp)
+    dk2 = qkv_ref[:, :, Dp:2 * Dp].reshape(TN * L, Dp)
+    dv2 = qkv_ref[:, :, 2 * Dp:].reshape(TN * L, Dp)
+    dx2 = jnp.zeros((TN * L, Din), jnp.float32)
+    for dg2, w_ref, dw_ref, db_ref in (
+        (dq2, wq_ref, dwq_ref, dbq_ref),
+        (dk2, wk_ref, dwk_ref, None),
+        (dv2, wv_ref, dwv_ref, dbv_ref),
+    ):
+        dx2 = dx2 + jax.lax.dot_general(
+            dg2, w_ref[:, :], (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        dw_ref[:, :] += jax.lax.dot_general(
+            x2, dg2, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        if db_ref is not None:
+            db_ref[0, :] += jnp.sum(dg2, axis=0)
+
+    if rate > 0.0:
+        dx2 = _apply_drop(dx2, keep, rate)
+    dx_ref[:, :, :] = dx2.reshape(TN, L, Din).astype(dx_ref.dtype)
+
+
+# backward-kernel variant switch for the hardware A/B (docs/PERF.md
+# round 5); the default follows the measured verdict recorded there
+_BWD_VARIANT = os.environ.get("DIGAT_MSA_BWD", "v1")
+
+
 def _vmem_tile(L, Din, Dp, A, g, is_bwd):
     """Largest title tile (multiple of 8) whose per-tile buffers fit (x/h/dx
     blocks, attention expansion temporaries [*, 128, g*L], weight (+grad)
@@ -351,7 +499,10 @@ def _call(is_bwd, x, mask, wq, bq, wk, wv, bv, w1, b1, vv, seed, dp,
     seed_spec = pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
     ins = [x_p, mask_p] + weights + [seed]
     specs = [xspec, mspec] + [full(a) for a in weights] + [seed_spec]
-    kernel = _bwd_kernel if is_bwd else _fwd_kernel
+    if is_bwd:
+        kernel = _bwd_kernel_v2 if _BWD_VARIANT == "v2" else _bwd_kernel
+    else:
+        kernel = _fwd_kernel
     f32 = jnp.float32
     flops_mm = 2 * npad * L * Din * 3 * Dp + 2 * npad * L * Dp * A
     cost = pl.CostEstimate(

@@ -114,3 +114,49 @@ def test_checkpoint_roundtrip(tiny_corpus, tmp_path):
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert jax.tree.structure(opt_state) == jax.tree.structure(o2)
+
+
+def test_unlabeled_sentinel_distinguishes_zero_positive_split(
+    tmp_path_factory,
+):
+    """A labeled test split that happens to contain zero positives must NOT
+    be flagged unlabeled (the -1 sentinel is preserved pre-clamp); a
+    genuinely label-stripped split must be (ADVICE round 4: cli.py:124)."""
+    import re
+
+    root = tmp_path_factory.mktemp("data-unlab")
+    data_dir = os.path.join(str(root), "synthetic")
+    synthetic.generate(
+        data_dir, news_num=80, categories=4, train_behaviors=30,
+        dev_behaviors=10, test_behaviors=10, users=10,
+    )
+    import shutil
+
+    base = open(os.path.join(data_dir, "test", "behaviors.tsv"),
+                encoding="utf-8").read()
+
+    def rebuild(transform, tag):
+        sub_root = os.path.join(str(root), tag)
+        shutil.copytree(data_dir, os.path.join(sub_root, "synthetic"))
+        tb = os.path.join(sub_root, "synthetic", "test", "behaviors.tsv")
+        rows = []
+        for line in base.rstrip("\n").split("\n"):
+            parts = line.split("\t")
+            parts[4] = " ".join(transform(x) for x in parts[4].split(" "))
+            rows.append("\t".join(parts))
+        open(tb, "w", encoding="utf-8").write("\n".join(rows) + "\n")
+        cfg = Config(
+            dataset="synthetic", data_root=sub_root, max_history_num=10,
+            max_title_length=12, SAG_neighbors=3, SAG_hops=2,
+            use_pallas=False,
+        )
+        corpus_lib.preprocess(cfg)
+        return corpus_lib.Corpus(cfg)
+
+    # all-negative but LABELED: sentinel false, labels all zero
+    c = rebuild(lambda x: re.sub(r"-1$", "-0", x), "zeroneg")
+    assert not c.test_unlabeled
+    assert np.asarray(c.test_labels).sum() == 0
+    # stripped labels: sentinel true
+    c = rebuild(lambda x: re.sub(r"-[01]$", "", x), "stripped")
+    assert c.test_unlabeled

@@ -178,7 +178,7 @@ def test_train_autotest_unlabeled_writes_submission_zip(tmp_path):
     cfg = tiny_cfg(root)
     cli.run_train(cfg)
     pred_dir = os.path.join(
-        cfg.run_root, "prediction", cfg.dataset, cfg.model_name
+        cfg.run_root, "prediction", cfg.dataset, cfg.model_name, "#1"
     )
     ptxt = os.path.join(pred_dir, "prediction.txt")
     pzip = os.path.join(pred_dir, "prediction.zip")
