@@ -45,7 +45,8 @@ def dedup_batch(batch: TrainBatch, news_node_id, capacity: int,
         from digat_tpu.ops.pallas.emb_grad import build_sorted_emb_meta
 
         emb = build_sorted_emb_meta(
-            np.asarray(news_title_text)[uniq_ids], vocab_size
+            np.asarray(news_title_text)[uniq_ids], vocab_size,
+            ship_sort_arrays=False,  # device reconstructs perm/sid
         )
     return DedupTrainBatch(
         uniq_ids=uniq_ids,
@@ -199,7 +200,8 @@ def train_batches(
                 from digat_tpu.ops.pallas.emb_grad import build_sorted_emb_meta
 
                 emb = build_sorted_emb_meta(
-                    news_title_text[uniq_ids], vocab_size
+                    news_title_text[uniq_ids], vocab_size,
+                    ship_sort_arrays=False,  # device reconstructs perm/sid
                 )
             yield DedupTrainBatch(
                 uniq_ids=uniq_ids,

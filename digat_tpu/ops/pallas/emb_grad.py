@@ -87,9 +87,19 @@ def meta_shape(ntok: int, vocab_size: int, chunk: int = DEFAULT_CHUNK,
 
 def build_sorted_emb_meta(tok: np.ndarray, vocab_size: int,
                           chunk: int = DEFAULT_CHUNK,
-                          tile: int = DEFAULT_TILE) -> EmbGradMeta:
+                          tile: int = DEFAULT_TILE,
+                          ship_sort_arrays: bool = True) -> EmbGradMeta:
     """Host-side: sort the batch's token stream and build the kernel work
-    list. `tok`: any-int array of token ids in [0, vocab_size)."""
+    list. `tok`: any-int array of token ids in [0, vocab_size).
+
+    `ship_sort_arrays=False` returns perm=None / sid=None: the backward
+    reconstructs both ON DEVICE from `tok` with an identical stable
+    argsort (stable sorts are unique, so host np.argsort and device
+    jnp.argsort agree bit-for-bit). Only the ~KB work list — which MUST be
+    host-built because it feeds Pallas scalar prefetch — is shipped. This
+    cuts the per-step host->device traffic ~20x, which matters doubly on
+    tunnel-attached TPUs where the axon client leaks host staging for
+    every transferred byte (docs/PERF.md round-5 leak study)."""
     flat = np.asarray(tok).ravel().astype(np.int32)
     ntok = flat.size
     ntok_p, nchunks, ntiles, W = meta_shape(ntok, vocab_size, chunk, tile)
@@ -130,8 +140,28 @@ def build_sorted_emb_meta(tok: np.ndarray, vocab_size: int,
     assert w <= W, (w, W)
     perm = np.where(perm < ntok, perm, 0).astype(np.int32)
     wt_gp = np.where(wt_chunk == sent, 0, wt_chunk).astype(np.int32)
+    if not ship_sort_arrays:
+        return EmbGradMeta(perm=None, sid=None, wt_tile=wt_tile,
+                           wt_chunk=wt_chunk, wt_gp=wt_gp)
     return EmbGradMeta(perm=perm, sid=sid, wt_tile=wt_tile, wt_chunk=wt_chunk,
                        wt_gp=wt_gp)
+
+
+def _device_sort_arrays(tok, vocab_size: int, chunk: int, tile: int):
+    """In-jit reconstruction of (perm, sid) — the device-side mirror of
+    build_sorted_emb_meta's sorting prologue."""
+    ntok = tok.size
+    ntok_p, nchunks, ntiles, _ = meta_shape(ntok, vocab_size, chunk, tile)
+    v_pad = ntiles * tile
+    ids = jnp.full((ntok_p,), v_pad, jnp.int32)
+    ids = ids.at[:ntok].set(tok.ravel().astype(jnp.int32))
+    perm_full = jnp.argsort(ids, stable=True).astype(jnp.int32)
+    sid_flat = ids[perm_full]
+    rows8 = -(-(nchunks + 1) // 8) * 8
+    sid = jnp.full((rows8, chunk), v_pad, jnp.int32)
+    sid = sid.at[:nchunks].set(sid_flat.reshape(nchunks, chunk))
+    perm = jnp.where(perm_full < ntok, perm_full, 0)
+    return perm, sid
 
 
 def _rowsum_kernel(tile_rows, wt_tile_ref, wt_chunk_ref, wt_gp_ref, gp_ref,
@@ -202,22 +232,27 @@ def sorted_rowsum(gp, sid, wt_tile, wt_chunk, wt_gp, vocab_size: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _lookup(table, tok, perm, sid, wt_tile, wt_chunk, wt_gp, tile, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _lookup(table, tok, perm, sid, wt_tile, wt_chunk, wt_gp, tile, interpret,
+            chunk):
     return table[tok]
 
 
 def _lookup_fwd(table, tok, perm, sid, wt_tile, wt_chunk, wt_gp, tile,
-                interpret):
+                interpret, chunk):
     return table[tok], (tok, perm, sid, wt_tile, wt_chunk, wt_gp,
                         table.shape[0])
 
 
-def _lookup_bwd(tile, interpret, res, g):
+def _lookup_bwd(tile, interpret, chunk, res, g):
     tok, perm, sid, wt_tile, wt_chunk, wt_gp, V = res
     D = g.shape[-1]
     g2 = g.reshape(-1, D).astype(jnp.float32)
     if jax.default_backend() == "tpu" or interpret:
+        if perm is None:
+            # device-side sort-array reconstruction (see
+            # build_sorted_emb_meta ship_sort_arrays=False)
+            perm, sid = _device_sort_arrays(tok, V, chunk, tile)
         # perm entries are clamped into [0, Ntok): pad slots gather row 0,
         # whose contribution the sentinel sid zeroes — no pad copy needed
         gp = g2[perm]  # [Ntok_p, D] rows in sorted-id order
@@ -232,7 +267,8 @@ _lookup.defvjp(_lookup_fwd, _lookup_bwd)
 
 
 def embedding_lookup(table, tok, meta: EmbGradMeta | None,
-                     tile: int = DEFAULT_TILE, interpret: bool = False):
+                     tile: int = DEFAULT_TILE, interpret: bool = False,
+                     chunk: int = DEFAULT_CHUNK):
     from digat_tpu.ops.pallas.runtime import INTERPRET
 
     interpret = interpret or INTERPRET
@@ -241,4 +277,4 @@ def embedding_lookup(table, tok, meta: EmbGradMeta | None,
     if meta is None:
         return table[tok]
     return _lookup(table, tok, meta.perm, meta.sid, meta.wt_tile,
-                   meta.wt_chunk, meta.wt_gp, tile, interpret)
+                   meta.wt_chunk, meta.wt_gp, tile, interpret, chunk)

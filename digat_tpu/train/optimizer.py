@@ -37,10 +37,36 @@ def decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-def make_optimizer(weight_decay: float, gradient_clip_norm: float, params):
+def clip_by_global_norm_torch(max_norm: float):
+    """torch.nn.utils.clip_grad_norm_ semantics: scale by
+    max_norm / (total_norm + 1e-6), clamped at 1. Differs from
+    optax.clip_by_global_norm only by the 1e-6 in the denominator (a
+    ~4e-7-relative difference whenever clipping engages) — functionally
+    irrelevant for training, but the weight-transplant protocol check
+    (scripts/parity/transplant.py) uses this to track the reference's
+    trajectory exactly instead of to within chaos-amplified epsilon."""
+    import jax.numpy as jnp
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        gnorm = optax.global_norm(updates)
+        coef = jnp.minimum(max_norm / (gnorm + 1e-6), 1.0)
+        return jax.tree.map(lambda u: u * coef, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(weight_decay: float, gradient_clip_norm: float, params,
+                   torch_compat_clip: bool = False):
     chain = []
     if gradient_clip_norm > 0:
-        chain.append(optax.clip_by_global_norm(gradient_clip_norm))
+        chain.append(
+            clip_by_global_norm_torch(gradient_clip_norm)
+            if torch_compat_clip
+            else optax.clip_by_global_norm(gradient_clip_norm)
+        )
     if weight_decay > 0:
         chain.append(
             optax.masked(

@@ -371,6 +371,204 @@ def run_digat_metrics(parity_dir: str) -> list:
 
 
 # ---------------------------------------------------------------------------
+# Family: digat — deterministic training-protocol leg (D)
+# ---------------------------------------------------------------------------
+
+
+def run_train_check(workdir: str, steps: int = 30, B: int = 64,
+                    lr: float = 1e-4) -> dict:
+    """Train BOTH frameworks from transplanted identical weights at the
+    reference protocol point (B=64, lr=1e-4 — reference config.py:31-35)
+    for `steps` Adam updates on identical batches, dropout off, fp64.
+
+    This deterministically validates the pieces the logits legs cannot:
+    the listwise NLL (trainer.py:100), clip-then-Adam order
+    (trainer.py:102-105), the no-decay parameter groups (trainer.py:25-30)
+    and Adam's bias-corrected moments — any divergence compounds over 30
+    steps and cannot hide inside a +-1 sigma interval."""
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ref_harness import (build_reference_config, force_cpu_device,
+                             install_cpu_shims, install_torch_scatter_shim,
+                             install_torchtext_shim)
+    from digat_tpu import interop
+    from digat_tpu.models.model import Model
+    from digat_tpu.train.optimizer import make_optimizer
+
+    install_torch_scatter_shim()
+    install_torchtext_shim("/dev/null")
+    install_cpu_shims()
+    sys.path.insert(0, os.environ.get("DIGAT_REFERENCE_DIR", "/root/reference"))
+    os.makedirs(workdir, exist_ok=True)
+    os.chdir(workdir)
+    import pickle
+
+    emb_pkl = (f"word_embedding-3-{GEO['word_embedding_dim']}-"
+               f"{GEO['max_title_length']}-MIND-small.pkl")
+    if not os.path.exists(emb_pkl):
+        with open(emb_pkl, "wb") as f:
+            pickle.dump(torch.zeros(VOCAB, GEO["word_embedding_dim"]), f)
+
+    geo0 = dict(GEO, dropout_rate=0.0)  # deterministic: dropout off
+    cfg_ref = build_reference_config(dict(
+        geo0, news_encoder="MSA", graph_encoder="DIGAT",
+        batch_size=B, lr=lr, seed=0,
+    ))
+    cfg_ref.vocabulary_size = VOCAB
+    cfg_ref.category_num = CATS
+    from model import Model as RefModel
+
+    torch.manual_seed(0)
+    ref = RefModel(cfg_ref)
+    ref.initialize()
+    randomize_(ref, seed=321)
+    force_cpu_device(ref)
+    ref = ref.double()
+    ref.train()
+    # the reference's exact optimizer construction (trainer.py:25-30)
+    no_decay = [".bias", "embed", "graph_encoder."]
+    groups = [
+        {"params": [p for n, p in ref.named_parameters()
+                    if not any(nd in n.lower() for nd in no_decay)],
+         "weight_decay": 0.0},
+        {"params": [p for n, p in ref.named_parameters()
+                    if any(nd in n.lower() for nd in no_decay)],
+         "weight_decay": 0.0},
+    ]
+    opt_ref = torch.optim.Adam(groups, lr=lr)
+
+    from digat_tpu.config import Config
+
+    # dataset='synthetic': MIND-small would force dropout_rate back to 0.2
+    # (Config.__post_init__ mirrors reference config.py:62-64), silently
+    # re-enabling dropout on this side only — the first run of this leg
+    # caught exactly that as a loss divergence
+    cfg = Config(
+        dataset="synthetic", news_encoder="MSA", graph_encoder="DIGAT",
+        vocabulary_size=VOCAB, category_num=CATS, user_num=10,
+        use_pallas=False, compute_dtype="float32", dedup_titles=0,
+        batch_size=B, lr=lr, **geo0,
+    ).validate()
+    ours = Model(cfg)
+    params0 = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float64),
+        interop.torch_to_params(ref.state_dict(), cfg),
+    )
+    # two arms: the production optax clip, and a torch-exact clip
+    # (max_norm/(norm+1e-6)) that removes the one known semantic epsilon —
+    # the torch_clip arm must then track the reference's fp64 trajectory
+    # essentially exactly for all `steps` updates
+    arms = {}
+    for arm, compat in (("optax_clip", False), ("torch_clip", True)):
+        tx = make_optimizer(0.0, cfg_ref.gradient_clip_norm, params0,
+                            torch_compat_clip=compat)
+        arms[arm] = {"tx": tx, "opt_state": tx.init(params0),
+                     "params": params0, "losses": [], "step1_pdiff": None}
+
+    def loss_fn(params, j):
+        logits = ours.forward(
+            params, jax.random.PRNGKey(0), True,
+            j["user_title_text"], j["user_title_mask"], j["user_graph"],
+            j["user_category_mask"], j["user_category_indices"],
+            j["news_title_text"], j["news_title_mask"], j["news_graph"],
+            j["news_graph_mask"],
+        )
+        return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    rng = np.random.default_rng(99)
+    N, H, C, L = 1 + geo0["negative_sample_num"], geo0["max_history_num"], \
+        CATS, geo0["max_title_length"]
+    Gn = cfg_ref.news_graph_size
+    losses_ref = []
+    for step in range(steps):
+        inp = make_inputs(rng, B=B, N=N, Gn=Gn, H=H, C=C, L=L)
+        t = to_torch(inp)
+        logits = ref(
+            t["user_title_text"], t["user_title_mask"], t["user_graph"],
+            t["user_category_mask"], t["user_category_indices"].long(),
+            t["news_title_text"], t["news_title_mask"], t["news_graph"],
+            t["news_graph_mask"],
+        )
+        loss_t = (-torch.log_softmax(logits, dim=1).select(1, 0)).mean()
+        opt_ref.zero_grad()
+        loss_t.backward()
+        torch.nn.utils.clip_grad_norm_(
+            ref.parameters(), cfg_ref.gradient_clip_norm)
+        opt_ref.step()
+        losses_ref.append(float(loss_t))
+
+        j = {k: jnp.asarray(v) for k, v in inp.items()}
+        rf1 = (interop.torch_to_params(ref.state_dict(), cfg)
+               if step == 0 else None)
+        for arm in arms.values():
+            loss_j, g = grad_fn(arm["params"], j)
+            updates, arm["opt_state"] = arm["tx"].update(
+                g, arm["opt_state"], arm["params"])
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            arm["params"] = optax.apply_updates(arm["params"], updates)
+            arm["losses"].append(float(loss_j))
+            if step == 0:
+                arm["step1_pdiff"] = max(
+                    float(np.max(np.abs(np.asarray(a) - b)))
+                    for a, b in zip(jax.tree.leaves(arm["params"]),
+                                    jax.tree.leaves(rf1))
+                )
+
+    # final-state agreement: transplant the reference's trained weights
+    # again and diff each arm against them
+    ref_final = jax.tree.map(
+        lambda x: np.asarray(x, np.float64),
+        interop.torch_to_params(ref.state_dict(), cfg),
+    )
+    report_arms = {}
+    for name, arm in arms.items():
+        pdiff = jax.tree.reduce(
+            max,
+            jax.tree.map(
+                lambda a, b: float(np.max(np.abs(np.asarray(a) - b))),
+                arm["params"], ref_final,
+            ),
+        )
+        ldiff = max(abs(a - b) for a, b in zip(losses_ref, arm["losses"]))
+        report_arms[name] = dict(
+            max_loss_diff=ldiff, final_param_max_diff=pdiff,
+            step1_param_max_diff=arm["step1_pdiff"],
+        )
+        print(f"[transplant:train] arm {name:>10}: step-1 param diff "
+              f"{arm['step1_pdiff']:.2e}, max loss diff {ldiff:.2e}, "
+              f"final param diff {pdiff:.2e}", flush=True)
+    # the torch_clip arm removes the ONE semantic epsilon (torch's 1e-6
+    # clip denominator) and must track the reference exactly; the
+    # optax_clip arm documents how far that epsilon compounds through
+    # Adam's flat directions over `steps` updates (loss-level agreement
+    # stays tight; param-level wanders on near-zero-gradient elements)
+    tc, oc = report_arms["torch_clip"], report_arms["optax_clip"]
+    row = dict(
+        model="MSA-DIGAT", steps=steps, batch_size=B, lr=lr, dtype="float64",
+        protocol="reference defaults (B=64, lr=1e-4, Adam no-decay groups, "
+                 "clip 1.0, listwise NLL)",
+        arms=report_arms,
+        known_seed="torch clip_grad_norm_ 1e-6 epsilon vs optax exact clip",
+        loss_first=losses_ref[0], loss_last=losses_ref[-1],
+        losses_ref=[round(x, 9) for x in losses_ref],
+        ok=bool(tc["step1_param_max_diff"] <= 1e-9
+                and tc["max_loss_diff"] <= 1e-8
+                and tc["final_param_max_diff"] <= 1e-7
+                and oc["max_loss_diff"] <= 1e-4),
+    )
+    print(f"[transplant:train] loss {row['loss_first']:.6f} -> "
+          f"{row['loss_last']:.6f} over {steps} steps: "
+          f"{'OK' if row['ok'] else 'MISMATCH'}", flush=True)
+    return row
+
+
+# ---------------------------------------------------------------------------
 # Family: nrms (Appendix-B)
 # ---------------------------------------------------------------------------
 
@@ -515,6 +713,7 @@ def main(argv=None):
                 merged["legs"][fam] = json.load(f)
         rows = (merged["legs"]["digat"]["logits"]
                 + merged["legs"]["nrms"]["logits"]
+                + merged["legs"]["digat"].get("train", [])
                 + merged["legs"]["digat"].get("metrics", []))
         merged["all_ok"] = all(r["ok"] for r in rows)
         final = os.path.join(REPO, "docs", "TRANSPLANT.json")
@@ -528,6 +727,7 @@ def main(argv=None):
     pin_cpu_x64()
     if args.family == "digat":
         result = {"logits": run_digat_logits(args.workdir)}
+        result["train"] = [run_train_check(args.workdir)]
         if not args.skip_metrics:
             result["metrics"] = run_digat_metrics(args.parity_dir)
     else:

@@ -93,3 +93,29 @@ def test_cpu_fallback_without_interpret():
     )
     dW = np.asarray(jax.jit(jax.grad(f))(table))
     assert np.abs(dW - scatter_ref(tok, g, V)).max() < 1e-4
+
+
+@pytest.mark.parametrize("V,shape,C,R", [(300, (31,), 16, 128),
+                                         (1000, (40, 32), 512, 128)])
+def test_device_reconstructed_meta_matches_host(V, shape, C, R):
+    """ship_sort_arrays=False: the backward reconstructs perm/sid on
+    device with a stable argsort; gradients must equal the host-meta path
+    bit-for-bit (stable sorts are unique)."""
+    rng = np.random.default_rng(3)
+    tok = rng.integers(0, V, shape).astype(np.int32)
+    D = 36 if V < 500 else 300
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    cvec = jnp.asarray(rng.standard_normal(shape + (D,)), jnp.float32)
+
+    def loss(table, meta):
+        out = embedding_lookup(table, jnp.asarray(tok), meta, tile=R,
+                               interpret=True, chunk=C)
+        return jnp.sum(out * cvec)
+
+    host_meta = build_sorted_emb_meta(tok, V, chunk=C, tile=R)
+    dev_meta = build_sorted_emb_meta(tok, V, chunk=C, tile=R,
+                                     ship_sort_arrays=False)
+    assert dev_meta.perm is None and dev_meta.sid is None
+    g_host = jax.grad(loss)(table, host_meta)
+    g_dev = jax.grad(loss)(table, dev_meta)
+    np.testing.assert_array_equal(np.asarray(g_host), np.asarray(g_dev))
