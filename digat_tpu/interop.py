@@ -38,7 +38,11 @@ class StateDict:
         for k, v in sd.items():
             if hasattr(v, "detach"):
                 v = v.detach().cpu().numpy()
-            self._arrays[k] = np.asarray(v)
+            # always copy: torch state_dict tensors VIEW the live model's
+            # storage (and jnp.asarray on CPU can alias numpy buffers), so
+            # without a copy a later in-place optimizer step on the torch
+            # side would silently mutate the converted params
+            self._arrays[k] = np.array(v, copy=True)
         self._taken = set()
 
     def take(self, name: str) -> np.ndarray:
