@@ -349,6 +349,34 @@ def test_emb_grad_sorted_rowsum(tpu):
     assert float(jnp.abs(dk - ds).max()) / scale < 1e-5
 
 
+def test_emb_grad_device_meta_bit_exact(tpu):
+    """ship_sort_arrays=False (the production default since round 5's
+    transfer-leak fix): the device-reconstructed perm/sid must yield a
+    BIT-IDENTICAL gradient to the host-shipped arrays — stable argsorts
+    are unique, so the two paths run the same kernel on the same data."""
+    import jax
+    import jax.numpy as jnp
+
+    from digat_tpu.ops.pallas.emb_grad import (
+        build_sorted_emb_meta, embedding_lookup)
+
+    rng = np.random.default_rng(5)
+    V, D, U, L = 40_000, 300, 2_048, 32
+    tok = rng.integers(0, V, (U, L)).astype(np.int32)
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    cvec = jnp.asarray(rng.standard_normal((U, L, D)), jnp.float32)
+    tok_j = jnp.asarray(tok)
+
+    def loss(table, meta):
+        return jnp.sum(embedding_lookup(table, tok_j, meta) * cvec)
+
+    gh = jax.grad(loss)(
+        table, jax.tree.map(jnp.asarray, build_sorted_emb_meta(tok, V)))
+    gd = jax.grad(loss)(
+        table, build_sorted_emb_meta(tok, V, ship_sort_arrays=False))
+    assert float(jnp.max(jnp.abs(gh - gd))) == 0.0
+
+
 def test_msa_encoder_fused_dropout(tpu):
     """In-kernel dropout (on-core PRNG) of the fused MSA encoder:
     deterministic given a seed, keep rate == 1 - p, and both forward and
