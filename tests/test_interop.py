@@ -187,3 +187,16 @@ def test_nrms_tree_structure(model):
     want = NRMSModel(cfg).param_template()
     assert jax.tree.map(lambda x: tuple(x.shape), params) == jax.tree.map(
         lambda x: tuple(x.shape), want)
+
+
+def test_converted_params_do_not_alias_source():
+    """torch state_dicts VIEW the live model's storage; the converter must
+    deep-copy so a later in-place optimizer step cannot mutate imported
+    params (found by the round-5 train-trajectory leg)."""
+    cfg = _cfg("DIGAT")
+    sd = reference_state_dict(cfg, np.random.default_rng(1))
+    params = interop.torch_to_params(sd, cfg)
+    before = np.array(params["graph_encoder"]["user_ctx"]["K"]["w"])
+    sd["graph_encoder.user_news_K.weight"][:] = 777.0  # in-place mutation
+    np.testing.assert_array_equal(
+        np.asarray(params["graph_encoder"]["user_ctx"]["K"]["w"]), before)
