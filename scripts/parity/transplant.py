@@ -691,6 +691,9 @@ def main(argv=None):
                          "docs/TRANSPLANT.json")
     ap.add_argument("--family", choices=("digat", "nrms"))
     ap.add_argument("--skip-metrics", action="store_true")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="skip the 30-step fp64 training-trajectory leg "
+                         "(the slowest leg, ~1-2 h on a shared host)")
     ap.add_argument("--workdir", default=os.path.join(REPO, "parity_runs",
                                                       "transplant"))
     ap.add_argument("--parity-dir", default=os.path.join(REPO, "parity_runs"))
@@ -707,6 +710,8 @@ def main(argv=None):
                    "--workdir", args.workdir, "--parity-dir", args.parity_dir]
             if args.skip_metrics:
                 cmd.append("--skip-metrics")
+            if args.skip_train:
+                cmd.append("--skip-train")
             env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
             subprocess.run(cmd, check=True, env=env)
             with open(out) as f:
@@ -727,7 +732,8 @@ def main(argv=None):
     pin_cpu_x64()
     if args.family == "digat":
         result = {"logits": run_digat_logits(args.workdir)}
-        result["train"] = [run_train_check(args.workdir)]
+        if not args.skip_train:
+            result["train"] = [run_train_check(args.workdir)]
         if not args.skip_metrics:
             result["metrics"] = run_digat_metrics(args.parity_dir)
     else:
